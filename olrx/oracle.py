@@ -1,0 +1,79 @@
+"""Naive single-process reference apply — the test oracle.
+
+Mirrors the reference's semantics directly and slowly (row loop; test scale
+only). This is the analog of the reference's LogMiner cross-validation step
+(/root/reference/tests/README.md:56-67): an independent, trivially-auditable
+implementation the distributed engine must match row-for-row.
+
+Semantics implemented (SURVEY §7.1):
+1. Only committed transactions mutate state; R-terminated or open txns are
+   dropped (/root/reference/src/parser/Transaction.cpp:207-210).
+2. Events apply in ``(commit_scn, scn, scn_idx)`` order.
+3. I sets the full row; U merges columns whose ``changed_mask`` bit is set
+   (missing = unchanged, explicit null = null —
+   /root/reference/src/builder/Builder.cpp:1467-1542); D removes the row.
+4. Additive schema evolution: a DDL event at its commit SCN widens the table
+   schema; earlier rows read null for new columns.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from olrx import schema as S
+
+
+def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1, -1, -1)
+                ) -> pa.Table:
+    """Replay a changelog table to final transcript state.
+
+    ``start_watermark`` = (commit_scn, scn, scn_idx): events at or below are
+    skipped (the exactly-once re-emission filter,
+    /root/reference/src/metadata/Metadata.cpp:716-727).
+    """
+    df = changelog.to_pandas(types_mapper=None)
+    commits = {r.xid: r.scn for r in df[df["op"] == "C"].itertuples()}
+
+    ev = df[df["op"].isin(["I", "U", "D", "DDL"])].copy()
+    ev["commit_scn"] = ev["xid"].map(commits)
+    ev = ev[ev["commit_scn"].notna()]
+    ev = ev.sort_values(["commit_scn", "scn", "scn_idx"], kind="stable")
+
+    all_cols = [n for n, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
+    state: dict[tuple[str, int], dict] = {}
+    schema_version = 0
+    for row in ev.itertuples():
+        pos = (row.commit_scn, row.scn, row.scn_idx)
+        if pos <= start_watermark:
+            continue
+        if row.op == "DDL":
+            schema_version = min(schema_version + 1, S.MAX_SCHEMA_VERSION)
+            continue
+        key = (row.conv_id, int(row.turn_idx))
+        if row.op == "D":
+            state.pop(key, None)
+            continue
+        img = row.after or {}
+        mask = int(row.changed_mask)
+        if row.op == "I":
+            state[key] = {c: img.get(c) for c in all_cols}
+        else:  # U — merge changed columns only
+            cur = state.get(key)
+            if cur is None:
+                cur = {c: None for c in all_cols}
+                state[key] = cur
+            for i, c in enumerate(all_cols):
+                if mask & (1 << i):
+                    cur[c] = img.get(c)
+
+    cols = [n for n, _ in S.payload_columns(schema_version)]
+    keys = sorted(state)
+    data = {
+        "conv_id": [k[0] for k in keys],
+        "turn_idx": pd.array([k[1] for k in keys], dtype="int32"),
+    }
+    for c in cols:
+        data[c] = [state[k][c] for k in keys]
+    out = pa.Table.from_pydict(data)
+    return out.cast(S.transcripts_schema(schema_version))
