@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in `olrx`) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The CDC queries run over a deterministic synthetic changelog (BASELINE.json
+input_hint: the transcripts table does not exist in /root/testdata, so it is
+synthesized — seeded, cached on disk by config digest). Ray pipeline and
+DuckDB oracle read the same parquet bytes; the oracle SQL embeds absolute
+``read_parquet('/tmp/olrx_data/...')`` paths, which DuckDB accepts alongside
+the pre-registered testdata views.
 """
 
 from __future__ import annotations
@@ -18,27 +16,38 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+#: the driver compares at sf=0.01; oracle_sql() strings are bound to it
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full CDC replay of the sf0.001-scale changelog to
+    final transcript table state (Dataset of rows)."""
+    from olrx.pipelines.queries import q_cdc_replay
+
+    return q_cdc_replay("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from olrx.pipelines.queries import CDC_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(CDC_QUERIES)
+    try:
+        from olrx.ops.registry import OPS_QUERIES
+        out.update(OPS_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from olrx.pipelines.queries import CDC_ORACLES
+
+    out = {name: fn(_ORACLE_SF_DIR) for name, fn in CDC_ORACLES.items()}
+    try:
+        from olrx.ops.registry import OPS_ORACLES
+        out.update({name: fn(_ORACLE_SF_DIR) for name, fn in OPS_ORACLES.items()})
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,224 @@
+"""Driver-facing query callables + matching DuckDB oracle SQL.
+
+Each query here is one operator/pipeline from SURVEY §2 expressed twice:
+once Ray-Data-native (the engine), once as ANSI SQL DuckDB can run over the
+*same* generated changelog parquet (`ensure_changelog` caches by config
+digest, so both sides read identical bytes). Column names match exactly —
+the driver's compare hashes values under sorted column names.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from olrx.gen import GenConfig, ensure_changelog, scale_for_sf_dir
+from olrx.pipelines.replay import ReplayConfig, replay_dataset
+from olrx.stages.decode import load_control
+
+
+def changelog_paths_for(sf_dir: str) -> list[str]:
+    cfg = GenConfig(scale=scale_for_sf_dir(sf_dir))
+    d = ensure_changelog(cfg)
+    return sorted(glob.glob(d + "/*.parquet"))
+
+
+def _glob_sql(sf_dir: str) -> str:
+    cfg = GenConfig(scale=scale_for_sf_dir(sf_dir))
+    return ensure_changelog(cfg) + "/*.parquet"
+
+
+def _replay_cfg() -> ReplayConfig:
+    return ReplayConfig(num_partitions=32)
+
+
+# ---------------------------------------------------------------------------
+# cdc_replay — the flagship: full replay to final table state
+# ---------------------------------------------------------------------------
+
+def q_cdc_replay(sf_dir: str) -> rd.Dataset:
+    paths = changelog_paths_for(sf_dir)
+    return replay_dataset(paths, _replay_cfg()).dataset
+
+
+def sql_cdc_replay(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    return f"""
+WITH commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}') WHERE op = 'C'
+), ev AS (
+  SELECT e.conv_id, e.turn_idx, e.op, e.scn, e.scn_idx, c.commit_scn,
+         e.after.role AS role, e.after.text AS text, e.after.tool AS tool,
+         e.after.ts AS ts, e.after.tool_meta AS tool_meta
+  FROM read_parquet('{g}') e
+  JOIN commits c USING (xid)
+  WHERE e.op IN ('I','U','D')
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY commit_scn DESC, scn DESC, scn_idx DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts, tool_meta
+FROM last WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# cdc_committed_events — decode stage alone (commit join + image flatten)
+# ---------------------------------------------------------------------------
+
+def q_cdc_committed_events(sf_dir: str) -> rd.Dataset:
+    from olrx.pipelines.replay import _decoded_events
+
+    paths = changelog_paths_for(sf_dir)
+    control = load_control(paths)
+    ds = _decoded_events(paths, _replay_cfg(), control)
+    ds = ds.map_batches(
+        lambda t: t.rename_columns(
+            [{"v_role": "role", "v_text": "text", "v_tool": "tool",
+              "v_ts": "img_ts", "v_tool_meta": "tool_meta"}.get(c, c)
+             for c in t.column_names]).drop_columns(["part", "changed_mask"]),
+        batch_format="pyarrow")
+    return ds
+
+
+def sql_cdc_committed_events(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    return f"""
+WITH commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}') WHERE op = 'C'
+)
+SELECT e.conv_id, CAST(e.turn_idx AS INTEGER) AS turn_idx, e.op,
+       c.commit_scn, e.scn, CAST(e.scn_idx AS INTEGER) AS scn_idx,
+       e.after.role AS role, e.after.text AS text, e.after.tool AS tool,
+       e.after.ts AS img_ts, e.after.tool_meta AS tool_meta
+FROM read_parquet('{g}') e JOIN commits c USING (xid)
+WHERE e.op IN ('I','U','D')
+"""
+
+
+# ---------------------------------------------------------------------------
+# cdc_txn_stats — per-transaction lineage (pre-aggregated groupby)
+# ---------------------------------------------------------------------------
+
+def q_cdc_txn_stats(sf_dir: str) -> rd.Dataset:
+    paths = changelog_paths_for(sf_dir)
+    ds = rd.read_parquet(paths, columns=["xid", "op"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch partial counts → tiny shuffle instead of all-events shuffle
+        g = t.group_by(["xid", "op"]).aggregate([("op", "count")])
+        return g.rename_columns(["xid", "op", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # partials are O(#txns × #ops) — tiny; final combine on the driver
+    df = parts.to_pandas().groupby(["xid", "op"], as_index=False)["n"].sum()
+    pv = df.pivot_table(index="xid", columns="op", values="n",
+                        fill_value=0, aggfunc="sum")
+    for c in ("I", "U", "D", "C", "R"):
+        if c not in pv.columns:
+            pv[c] = 0
+    out = pa.table({
+        "xid": pa.array(pv.index.to_numpy(dtype=object), pa.string()),
+        "n_events": pa.array((pv["I"] + pv["U"] + pv["D"]).to_numpy(), pa.int64()),
+        "n_insert": pa.array(pv["I"].to_numpy(), pa.int64()),
+        "n_update": pa.array(pv["U"].to_numpy(), pa.int64()),
+        "n_delete": pa.array(pv["D"].to_numpy(), pa.int64()),
+        "outcome": pa.array(["commit" if c > 0 else ("rollback" if r > 0 else "open")
+                             for c, r in zip(pv["C"].to_numpy(), pv["R"].to_numpy())]),
+    })
+    return out
+
+
+def sql_cdc_txn_stats(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    return f"""
+SELECT xid,
+       count(*) FILTER (WHERE op IN ('I','U','D')) AS n_events,
+       count(*) FILTER (WHERE op = 'I') AS n_insert,
+       count(*) FILTER (WHERE op = 'U') AS n_update,
+       count(*) FILTER (WHERE op = 'D') AS n_delete,
+       CASE WHEN count(*) FILTER (WHERE op = 'C') > 0 THEN 'commit'
+            WHEN count(*) FILTER (WHERE op = 'R') > 0 THEN 'rollback'
+            ELSE 'open' END AS outcome
+FROM read_parquet('{g}')
+GROUP BY xid
+"""
+
+
+# ---------------------------------------------------------------------------
+# cdc_shard_watermarks — per-shard progress (RAC watermark inputs)
+# ---------------------------------------------------------------------------
+
+def q_cdc_shard_watermarks(sf_dir: str) -> pa.Table:
+    paths = changelog_paths_for(sf_dir)
+    ds = rd.read_parquet(paths, columns=["shard", "scn", "op"])
+    from ray.data.aggregate import Count, Max
+    out = ds.groupby("shard").aggregate(
+        Max("scn", alias_name="max_scn"), Count(alias_name="n_rows"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.cast(pa.schema([("shard", pa.int16()), ("max_scn", pa.int64()),
+                             ("n_rows", pa.int64())]))
+
+
+def sql_cdc_shard_watermarks(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    return f"""
+SELECT shard, max(scn) AS max_scn, count(*) AS n_rows
+FROM read_parquet('{g}') GROUP BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# cdc_rollback_audit — anti-join semantics: events of non-committed txns
+# ---------------------------------------------------------------------------
+
+def q_cdc_rollback_audit(sf_dir: str) -> pa.Table:
+    paths = changelog_paths_for(sf_dir)
+    control = load_control(paths)
+    committed = ray.put(control.commit_map["xid"].combine_chunks())
+
+    def fn(t: pa.Table) -> pa.Table:
+        xids = ray.get(committed)
+        dml = t.filter(pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"])))
+        dropped = dml.filter(pc.invert(pc.is_in(dml["xid"], value_set=xids)))
+        return dropped.group_by("op").aggregate([("op", "count")]) \
+                      .rename_columns(["op", "n"])
+
+    parts = rd.read_parquet(paths, columns=["xid", "op"]) \
+              .map_batches(fn, batch_format="pyarrow")
+    df = parts.to_pandas().groupby("op", as_index=False)["n"].sum()
+    return pa.Table.from_pandas(df, preserve_index=False).cast(
+        pa.schema([("op", pa.string()), ("n", pa.int64())]))
+
+
+def sql_cdc_rollback_audit(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    return f"""
+SELECT op, count(*) AS n
+FROM read_parquet('{g}') e
+WHERE op IN ('I','U','D')
+  AND xid NOT IN (SELECT xid FROM read_parquet('{g}') WHERE op = 'C')
+GROUP BY op
+"""
+
+
+CDC_QUERIES = {
+    "cdc_replay": q_cdc_replay,
+    "cdc_committed_events": q_cdc_committed_events,
+    "cdc_txn_stats": q_cdc_txn_stats,
+    "cdc_shard_watermarks": q_cdc_shard_watermarks,
+    "cdc_rollback_audit": q_cdc_rollback_audit,
+}
+
+CDC_ORACLES = {
+    "cdc_replay": sql_cdc_replay,
+    "cdc_committed_events": sql_cdc_committed_events,
+    "cdc_txn_stats": sql_cdc_txn_stats,
+    "cdc_shard_watermarks": sql_cdc_shard_watermarks,
+    "cdc_rollback_audit": sql_cdc_rollback_audit,
+}

@@ -1,0 +1,253 @@
+"""The replay job: changelog segments → transcripts lake table.
+
+Entry-point analog of the reference's batch mode (``ReplicatorBatch``,
+/root/reference/src/replicator/ReplicatorBatch.cpp:30-61): given an explicit
+list of log segments, replay every committed transaction into the target
+table, then stop. Offline/tail mode (re-run over a growing directory,
+/root/reference/src/replicator/Replicator.cpp:468-557) is the same call with
+``resume=True`` — manifests make re-processing idempotent.
+
+Pipeline shape (one wide exchange, SURVEY §4.2):
+
+    read_parquet(segments, columns=pruned)          # stateless IO tasks
+      → map_batches(CommitResolver, actor pool)     # filter+join+flatten+part
+      → groupby("part").map_groups(apply)           # THE shuffle; per-partition
+                                                    # sort-merge-upsert
+      → rows (dataset mode) | parquet + manifest per partition (lake mode)
+
+plus one earlier pruned-column pass (``load_control``) that reads only
+control columns to build the broadcast commit map.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from olrx import schema as S
+from olrx.stages.apply import apply_stats, merge_apply
+from olrx.stages.decode import EVENT_COLUMNS, CommitResolver, ControlInfo, load_control
+from olrx.stages.partition import detect_hot_keys
+from olrx.state import manifest as MF
+
+
+@dataclass
+class ReplayConfig:
+    num_partitions: int = 32        # ≥ 4× apply parallelism for balance
+    batch_size: int = 32_768        # decode batch rows
+    decode_concurrency: int | None = None  # None → ~half the CPUs
+    salt_hot: bool = False          # heavy-hitter detection + turn-salting
+    hot_frac_threshold: float = 0.02
+    salt_block: int = 64
+    #: batch mode (ReplicatorBatch): the input is a complete closed log set —
+    #: confirm up to the global max commit SCN. False = tail/online mode:
+    #: confirm only min-over-shards (the RAC scn watermark,
+    #: /root/reference/src/replicator/Replicator.cpp:1142-1210); txns beyond
+    #: it are still applied (LWW re-application is idempotent) but stay
+    #: unconfirmed until every shard's log has caught up.
+    assume_complete_input: bool = True
+    #: declared shard set; shards absent from the input pin the safe
+    #: watermark at -1 (reference: per-thread states, Metadata.h:110-118)
+    expected_shards: tuple[int, ...] | None = None
+    extra: dict = field(default_factory=dict)
+
+    def safe_watermark(self, control: ControlInfo) -> int:
+        if self.assume_complete_input:
+            return control.max_commit_scn
+        shards = (self.expected_shards if self.expected_shards is not None
+                  else sorted(control.shard_watermarks))
+        if not shards:
+            return -1
+        return min(control.shard_watermarks.get(s, -1) for s in shards)
+
+    def resolved_decode_concurrency(self) -> int:
+        if self.decode_concurrency:
+            return self.decode_concurrency
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        return max(2, cpus // 2)
+
+
+@dataclass
+class ReplayResult:
+    control: ControlInfo
+    stats: "pa.Table | None" = None          # one row per partition (lake mode)
+    dataset: "rd.Dataset | None" = None      # final rows (dataset mode)
+    out_dir: str | None = None
+
+
+def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
+                    min_commit_scn_excl: int = -1) -> rd.Dataset:
+    commit_ref = ray.put(control.commit_map)
+    hot_ref = None
+    if cfg.salt_hot:
+        hot = detect_hot_keys(paths, frac_threshold=cfg.hot_frac_threshold)
+        hot_ref = ray.put(hot)
+    ds = rd.read_parquet(paths, columns=EVENT_COLUMNS)
+    return ds.map_batches(
+        CommitResolver,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.resolved_decode_concurrency(),
+        fn_constructor_kwargs=dict(
+            commit_ref=commit_ref,
+            num_partitions=cfg.num_partitions,
+            hot_ref=hot_ref,
+            salt_block=cfg.salt_block,
+            min_commit_scn_excl=min_commit_scn_excl,
+        ),
+    )
+
+
+def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayResult:
+    """Replay to an in-flight Dataset of final transcript rows (no sink)."""
+    cfg = cfg or ReplayConfig()
+    control = load_control(paths)
+    sv = control.schema_version
+    events = _decoded_events(paths, cfg, control)
+    final = events.groupby("part").map_groups(
+        lambda g: merge_apply(g, sv), batch_format="pyarrow")
+    return ReplayResult(control=control, dataset=final)
+
+
+def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
+                      safe_watermark: int, max_commit_scn: int) -> pa.Table:
+    """Lake-mode per-partition apply: merge with base state, write parquet
+    atomically, then publish the manifest. Idempotent under task retries:
+    a retry re-reads the (old) manifest, recomputes the same bytes and
+    re-publishes the same files/manifest — a no-op replacement."""
+    part = int(group["part"][0].as_py())
+    mdir = os.path.join(out_dir, "_manifest")
+    prev = MF.read_manifest(mdir, part)
+    counters = apply_stats(group)
+    target_watermark = max(safe_watermark, prev.watermark_commit_scn if prev else -1)
+
+    if prev is not None:
+        if prev.watermark_commit_scn >= max_commit_scn:
+            # everything in this input already confirmed — exactly-once skip
+            # (Metadata::isNewData, /root/reference/src/metadata/Metadata.cpp:716-727)
+            return _stats_row(part, prev.rows, prev.watermark_commit_scn, True, counters)
+        # drop events at or below the partition's confirmed watermark
+        group = group.filter(pc.greater(group["commit_scn"],
+                                        prev.watermark_commit_scn))
+        counters = apply_stats(group)
+        base = _read_base(out_dir, prev)
+        if base is not None and base.num_rows:
+            group = pa.concat_tables([_base_as_events(base, prev), group],
+                                     promote_options="default")
+
+    final = merge_apply(group, schema_version)
+
+    part_dir = os.path.join(out_dir, f"part-{part:05d}")
+    os.makedirs(part_dir, exist_ok=True)
+    fname = f"data-w{target_watermark}.parquet"
+    fpath = os.path.join(part_dir, fname)
+    tmp = fpath + f".tmp.{os.getpid()}"
+    pq.write_table(final, tmp)
+    os.replace(tmp, fpath)
+
+    m = MF.PartitionManifest(
+        partition=part,
+        watermark_commit_scn=target_watermark,
+        schema_version=schema_version,
+        files=[os.path.join(f"part-{part:05d}", fname)],
+        rows=final.num_rows,
+        counters=counters,
+    )
+    MF.write_manifest(mdir, m)
+    # GC superseded snapshots (best-effort; manifest no longer references them)
+    if prev is not None:
+        for rel in prev.files:
+            if rel not in m.files:
+                try:
+                    os.remove(os.path.join(out_dir, rel))
+                except OSError:
+                    pass
+    return _stats_row(part, final.num_rows, target_watermark, False, counters)
+
+
+def _read_base(out_dir: str, m: MF.PartitionManifest) -> pa.Table | None:
+    tables = []
+    for rel in m.files:
+        p = os.path.join(out_dir, rel)
+        if os.path.exists(p):
+            tables.append(pq.read_table(p))
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _base_as_events(base: pa.Table, m: MF.PartitionManifest) -> pa.Table:
+    """Existing partition snapshot re-expressed as synthetic full-image
+    inserts at the manifest watermark, so the same merge kernel handles
+    incremental upserts (events > watermark win by LWW)."""
+    n = base.num_rows
+    payload_all = [nm for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
+    cols: dict[str, object] = {
+        "conv_id": base["conv_id"],
+        "turn_idx": base["turn_idx"],
+        "op": pa.array(["I"] * n),
+        "commit_scn": pa.array([m.watermark_commit_scn] * n, pa.int64()),
+        "scn": pa.array([-1] * n, pa.int64()),
+        "scn_idx": pa.array([-1] * n, pa.int32()),
+        "changed_mask": pa.array([S.full_mask(m.schema_version)] * n, pa.int32()),
+    }
+    base_names = set(base.schema.names)
+    for nm, t in S.payload_columns(S.MAX_SCHEMA_VERSION):
+        cols[f"v_{nm}"] = base[nm] if nm in base_names else pa.nulls(n, t)
+    _ = payload_all
+    return pa.table(cols)
+
+
+def _stats_row(part: int, rows: int, watermark: int, skipped: bool,
+               counters: dict[str, int]) -> pa.Table:
+    d = {
+        "partition": pa.array([part], pa.int32()),
+        "rows": pa.array([rows], pa.int64()),
+        "watermark_commit_scn": pa.array([watermark], pa.int64()),
+        "skipped": pa.array([skipped], pa.bool_()),
+    }
+    for k in ("events", "inserts", "updates", "deletes"):
+        d[k] = pa.array([counters.get(k, 0)], pa.int64())
+    return pa.table(d)
+
+
+def replay_to_lake(paths: list[str], out_dir: str,
+                   cfg: ReplayConfig | None = None, resume: bool = True
+                   ) -> ReplayResult:
+    """Replay into a partitioned Parquet lake table with commit manifests."""
+    cfg = cfg or ReplayConfig()
+    if not resume and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    control = load_control(paths)
+    sv = control.schema_version
+    safe_wm = cfg.safe_watermark(control)
+    max_commit = control.max_commit_scn
+    # global floor: safe to drop in decode only what EVERY partition confirmed
+    floor = MF.global_watermark(os.path.join(out_dir, "_manifest"),
+                                cfg.num_partitions) if resume else -1
+    events = _decoded_events(paths, cfg, control, min_commit_scn_excl=floor)
+    stats_ds = events.groupby("part").map_groups(
+        lambda g: _apply_and_commit(g, out_dir, sv, safe_wm, max_commit),
+        batch_format="pyarrow")
+    stats_df = stats_ds.to_pandas()
+    if stats_df.empty:  # nothing new anywhere (all dropped at the floor)
+        stats = _stats_row(-1, 0, floor, True, {})[:0]
+    else:
+        stats = pa.Table.from_pandas(stats_df, preserve_index=False)
+    return ReplayResult(control=control, stats=stats, out_dir=out_dir)
+
+
+def read_lake(out_dir: str) -> rd.Dataset:
+    """Read the current table state: only files referenced by manifests."""
+    ms = MF.read_all(os.path.join(out_dir, "_manifest"))
+    files = [os.path.join(out_dir, rel) for m in ms.values() for rel in m.files]
+    schema_version = max((m.schema_version for m in ms.values()), default=0)
+    return rd.read_parquet(files, schema=S.transcripts_schema(schema_version))

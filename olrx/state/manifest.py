@@ -1,0 +1,94 @@
+"""Per-partition commit manifests — the exactly-once confirm protocol.
+
+Re-expresses the reference's writer checkpoint
+(``Writer::writeCheckpoint`` persisting confirmed ``(scn, idx)``,
+/root/reference/src/writer/Writer.cpp:362-448) and the re-emission filter
+(``Metadata::isNewData``, /root/reference/src/metadata/Metadata.cpp:716-727)
+for a partitioned lake sink:
+
+- one manifest JSON per partition, written via temp-file + ``os.replace``
+  (atomic on POSIX) *after* the partition's parquet is durably written;
+- manifest records the applied watermark (max commit SCN), schema version,
+  output files, row count and lineage counters;
+- on resume, a partition whose manifest watermark already covers the input
+  is skipped entirely, and events ≤ the watermark are dropped before apply —
+  re-running a failed/duplicate task is a no-op (idempotent upsert).
+
+Watermark granularity is the commit SCN: a transaction is applied atomically
+(all its events share one commit_scn), so "everything ≤ W" is always a
+transaction-consistent cut — the same invariant the reference maintains by
+only checkpointing at LWN boundaries
+(/root/reference/documentation/user-manual/8.checkpointing.adoc:15-24).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartitionManifest:
+    partition: int
+    watermark_commit_scn: int
+    schema_version: int
+    files: list[str]
+    rows: int
+    counters: dict[str, int] = field(default_factory=dict)
+    updated_unix: float = 0.0
+
+    def path(self, manifest_dir: str) -> str:
+        return manifest_path(manifest_dir, self.partition)
+
+
+def manifest_path(manifest_dir: str, partition: int) -> str:
+    return os.path.join(manifest_dir, f"part-{partition:05d}.json")
+
+
+def read_manifest(manifest_dir: str, partition: int) -> PartitionManifest | None:
+    p = manifest_path(manifest_dir, partition)
+    try:
+        with open(p) as f:
+            d = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+    return PartitionManifest(**d)
+
+
+def write_manifest(manifest_dir: str, m: PartitionManifest) -> str:
+    os.makedirs(manifest_dir, exist_ok=True)
+    m.updated_unix = time.time()
+    p = m.path(manifest_dir)
+    tmp = f"{p}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(asdict(m), f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+    return p
+
+
+def read_all(manifest_dir: str) -> dict[int, PartitionManifest]:
+    if not os.path.isdir(manifest_dir):
+        return {}
+    out: dict[int, PartitionManifest] = {}
+    for name in os.listdir(manifest_dir):
+        if name.startswith("part-") and name.endswith(".json"):
+            part = int(name[5:10])
+            m = read_manifest(manifest_dir, part)
+            if m is not None:
+                out[part] = m
+    return out
+
+
+def global_watermark(manifest_dir: str, num_partitions: int) -> int:
+    """Min over partitions of the applied watermark — the safe resume point
+    (analog of the min-open-txn restart position,
+    /root/reference/src/parser/TransactionBuffer.cpp:274-286). Partitions
+    without a manifest pin the watermark at -1 (nothing confirmed)."""
+    ms = read_all(manifest_dir)
+    if len(ms) < num_partitions:
+        return -1
+    return min(m.watermark_commit_scn for m in ms.values())

@@ -1,0 +1,70 @@
+"""Distributed replay vs the naive oracle (dataset mode)."""
+
+import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from olrx.gen import GenConfig, ensure_changelog
+from olrx.oracle import apply_naive
+from olrx.pipelines.replay import ReplayConfig, replay_dataset
+from tests.conftest import sorted_table
+
+
+def _check(cfg: GenConfig, rcfg: ReplayConfig):
+    d = ensure_changelog(cfg)
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    exp = apply_naive(full).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    got = sorted_table(replay_dataset(paths, rcfg).dataset, exp.schema)
+    assert got.equals(exp), "replay != oracle"
+    return exp
+
+
+def test_full_images(gen_small, expected_small):
+    _, _, paths, _ = gen_small
+    got = sorted_table(replay_dataset(paths, ReplayConfig(num_partitions=16)).dataset,
+                       expected_small.schema)
+    assert got.equals(expected_small)
+
+
+def test_partial_images():
+    """Changed-column merge semantics (Builder.cpp:1467-1542 analog)."""
+    _check(GenConfig(scale=0.001, partial_images=True),
+           ReplayConfig(num_partitions=16))
+
+
+def test_hot_conversation_salted():
+    """Skewed hot key + salted repartition stays correct (north rule)."""
+    cfg = GenConfig(scale=0.001, hot_conv_factor=200)
+    rcfg = ReplayConfig(num_partitions=16, salt_hot=True,
+                        hot_frac_threshold=0.02, salt_block=32)
+    _check(cfg, rcfg)
+
+
+def test_hot_key_actually_spreads():
+    """The hot conversation must land in >1 partition when salted."""
+    import numpy as np
+    from olrx.stages.partition import partition_ids
+
+    conv = pa.array(["hot"] * 1000)
+    turns = pa.array(np.arange(1000, dtype=np.int32))
+    cold = partition_ids(conv, turns, 16)
+    hot = partition_ids(conv, turns, 16, hot=frozenset(["hot"]), salt_block=64)
+    assert len(set(cold.tolist())) == 1
+    assert len(set(hot.tolist())) > 4
+
+
+def test_no_ddl_narrow_schema():
+    """Without DDL the output schema stays at version 0 (no tool_meta)."""
+    cfg = GenConfig(scale=0.001, ddl=False)
+    d = ensure_changelog(cfg)
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    res = replay_dataset(paths, ReplayConfig(num_partitions=8))
+    got = sorted_table(res.dataset)
+    assert "tool_meta" not in got.schema.names
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    exp = apply_naive(full).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.cast(exp.schema).equals(exp)
