@@ -1,0 +1,130 @@
+"""Benchmark harness: headline CDC replay + per-stage query timings.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "num_cpus": N, "events": M,
+   "events_per_sec": ...}
+
+Modes:
+  python bench.py               # single run over $GRAFT_SF_DIR at $RAY_GRAFT_CPUS
+  python bench.py --scaling     # same pipeline at 8 and 32 CPUs in fresh
+                                # processes; reports both + scaling efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+#: input scale for --scaling runs: large enough that per-run fixed overhead
+#: (worker/actor spawn ~2-5 s) is amortized and both runs are compute-bound
+SCALING_SCALE = float(os.environ.get("OLRX_SCALING_SCALE", "1.0"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import glob
+
+    from olrx.gen import GenConfig, ensure_changelog, scale_for_sf_dir
+    from olrx.pipelines.replay import ReplayConfig, replay_to_lake
+
+    _override = os.environ.get("OLRX_BENCH_SCALE", "").strip()
+    sf = float(_override) if _override else scale_for_sf_dir(SF_DIR)
+    gen_cfg = GenConfig(scale=sf)
+    d = ensure_changelog(gen_cfg)          # cached; generation not timed
+    paths = sorted(glob.glob(d + "/*.parquet"))
+
+    # warm page cache so we measure compute+shuffle, not first disk read
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    cfg = ReplayConfig(num_partitions=max(64, NUM_CPUS * 4),
+                       decode_concurrency=max(2, NUM_CPUS // 2))
+    out_dir = f"/tmp/olrx_bench/lake-{NUM_CPUS}"
+
+    # warm the Ray worker/actor pool with an untimed mini-run (first pipeline
+    # execution in a session pays multi-second process-spawn costs that a
+    # long-lived cluster would not)
+    from olrx.gen import GenConfig as GC
+    warm_paths = sorted(glob.glob(ensure_changelog(GC(scale=0.001)) + "/*.parquet"))
+    shutil.rmtree(out_dir + "-warm", ignore_errors=True)
+    replay_to_lake(warm_paths, out_dir + "-warm", cfg, resume=False)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = replay_to_lake(paths, out_dir, cfg, resume=False)
+    headline = time.perf_counter() - t0
+    st = res.stats.to_pandas()
+    events = int(st["events"].sum())
+    rows = int(st["rows"].sum())
+
+    queries: dict[str, float] = {"cdc_replay": round(headline, 3)}
+
+    from olrx.pipelines import queries as Q
+    for name in ("cdc_committed_events", "cdc_txn_stats", "cdc_shard_watermarks"):
+        t0 = time.perf_counter()
+        r = Q.CDC_QUERIES[name](SF_DIR)
+        if hasattr(r, "count"):
+            r.count()  # force execution for lazy datasets
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "cdc_replay_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "events": events,
+        "rows": rows,
+        "events_per_sec": round(events / headline, 1) if headline > 0 else None,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+
+    def once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   OLRX_BENCH_SCALE=str(SCALING_SCALE))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = once(lo), once(hi)
+    tput_lo = r_lo["events_per_sec"]
+    tput_hi = r_hi["events_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": r_lo["sf"],
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "cpus_lo": lo, "cpus_hi": hi,
+        "events_per_sec_lo": tput_lo, "events_per_sec_hi": tput_hi,
+    }
+
+
+if __name__ == "__main__":
+    result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    print(json.dumps(result))

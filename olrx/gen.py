@@ -90,17 +90,35 @@ class GenResult:
     config: GenConfig = field(repr=False, default=None)
 
 
+def _as_array(a):
+    """pa.array/cast may return ChunkedArray for large inputs — flatten."""
+    if isinstance(a, pa.ChunkedArray):
+        return a.combine_chunks()
+    return a
+
+
 def _make_text(ki: np.ndarray, ti: np.ndarray, ver: np.ndarray,
-               cfg: GenConfig, rng: np.random.Generator) -> list[str]:
-    pad = rng.integers(0, 120, len(ki))
-    out = []
+               cfg: GenConfig, rng: np.random.Generator) -> pa.Array:
+    """Vectorized deterministic text: ``conv{k}-turn{t}-v{v} lorem...`` with
+    special-char snippets sprinkled in. All Arrow C++ kernels — no Python
+    per-row work, so bench-scale generation stays linear."""
+    import pyarrow.compute as pc
+
+    n = len(ki)
+    pad = (rng.integers(0, 120, n) // 6).astype(np.int64)
+    filler = pa.array(["lorem " * k for k in range(20)]).take(pa.array(pad))
+    prefix = pc.binary_join_element_wise(
+        "conv", pc.cast(pa.array(ki), pa.string()),
+        "-turn", pc.cast(pa.array(ti), pa.string()),
+        "-v", pc.cast(pa.array(ver), pa.string()), " ", "")
     k = cfg.special_char_every
-    for i in range(len(ki)):
-        t = f"conv{ki[i]}-turn{ti[i]}-v{ver[i]} " + "lorem " * (pad[i] // 6)
-        if k and i % k == 0:
-            t += SPECIAL_SNIPPETS[(i // k) % len(SPECIAL_SNIPPETS)]
-        out.append(t)
-    return out
+    if k:
+        i = np.arange(n)
+        spec_idx = np.where(i % k == 0, (i // k) % len(SPECIAL_SNIPPETS),
+                            len(SPECIAL_SNIPPETS))
+        spec = pa.array(SPECIAL_SNIPPETS + [""]).take(pa.array(spec_idx))
+        return _as_array(pc.binary_join_element_wise(prefix, filler, spec, ""))
+    return _as_array(pc.binary_join_element_wise(prefix, filler, ""))
 
 
 def generate(cfg: GenConfig) -> GenResult:
@@ -128,7 +146,7 @@ def generate(cfg: GenConfig) -> GenResult:
     chain_pos = np.arange(total) - offs[:-1][ev_key]
 
     # op per chain position: 0→I, 1..n_upd→U, n_upd+1→D, n_upd+2→I, rest→U
-    op = np.full(total, "U", dtype=object)
+    op = np.full(total, "U", dtype="U3")
     op[chain_pos == 0] = "I"
     d_at = offs[:-1] + 1 + n_upd
     op[d_at[deleted]] = "D"
@@ -160,35 +178,45 @@ def generate(cfg: GenConfig) -> GenResult:
         "commit_scn": commit_scn[ev_txn],
     }
 
-    # ---- rollback + open transactions ------------------------------------
+    # ---- rollback + open transactions (vectorized) ------------------------
     extras = []
     n_rb = int(n_txn * cfg.rollback_frac)
-    aux_specs = [("rb", n_rb, True), ("open", cfg.open_txns, False)]
+    aux_txn_arrays = []     # dicts of (xid, kind, begin, end(-1=open), shard)
     fresh_turn = 1_000_000  # keys never used by chains
-    aux_txns = []           # (xid, kind, begin, end|None, shard)
-    for kind, count, terminated in aux_specs:
-        for j in range(count):
-            anchor = int(rng.integers(0, n_txn))
-            end = int(commit_scn[anchor]) + 4 + j % 7
-            dur = int(rng.integers(5, 40))
-            k = int(rng.integers(2, 8))
-            pick = rng.integers(0, n_keys, k)
-            is_ins = rng.random(k) < 0.3
-            ki = key_conv[pick].copy()
-            ti = key_turn[pick].copy()
-            ti[is_ins] = fresh_turn + np.arange(int(is_ins.sum()))
-            fresh_turn += k
-            extras.append({
-                "ki": ki, "ti": ti, "ver": np.full(k, 90 + j),
-                "op": np.where(is_ins, "I", "U").astype(object),
-                "txn": np.full(k, -1), "scn": np.full(k, end - dur) + np.arange(k) + 1,
-                "scn_idx": np.arange(k) + 1,
-                "shard": np.full(k, (anchor + 1) % cfg.n_shards, dtype=np.int16),
-                "committed": np.zeros(k, bool), "commit_scn": np.full(k, -1),
-                "xid": f"{kind}{j:04d}",
-            })
-            aux_txns.append((f"{kind}{j:04d}", kind, end - dur, end if terminated else None,
-                             np.int16((anchor + 1) % cfg.n_shards)))
+    for kind, count, terminated in (("rb", n_rb, True), ("open", cfg.open_txns, False)):
+        if count <= 0:
+            continue
+        anchor = rng.integers(0, n_txn, count)
+        end = commit_scn[anchor] + 4 + np.arange(count) % 7
+        dur = rng.integers(5, 40, count)
+        k = rng.integers(2, 8, count)
+        tot = int(k.sum())
+        offs = np.zeros(count + 1, np.int64)
+        np.cumsum(k, out=offs[1:])
+        tix = np.repeat(np.arange(count), k)          # aux-txn index per event
+        within = np.arange(tot) - offs[:-1][tix]
+        pick = rng.integers(0, n_keys, tot)
+        is_ins = rng.random(tot) < 0.3
+        eki = key_conv[pick].copy()
+        eti = key_turn[pick].copy()
+        eti[is_ins] = fresh_turn + np.arange(int(is_ins.sum()))
+        fresh_turn += tot
+        xids = np.char.add(kind, np.char.zfill(np.arange(count).astype("U6"), 4)
+                           ).astype(object)
+        extras.append({
+            "ki": eki, "ti": eti, "ver": 90 + tix,
+            "op": np.where(is_ins, "I", "U").astype("U3"),
+            "txn": np.full(tot, -1), "scn": (end - dur)[tix] + within + 1,
+            "scn_idx": within + 1,
+            "shard": ((anchor + 1)[tix] % cfg.n_shards).astype(np.int16),
+            "committed": np.zeros(tot, bool), "commit_scn": np.full(tot, -1),
+            "xid_arr": xids[tix],
+        })
+        aux_txn_arrays.append({
+            "xid": xids, "begin": end - dur,
+            "end": end if terminated else np.full(count, -1),
+            "shard": ((anchor + 1) % cfg.n_shards).astype(np.int16),
+        })
 
     # ---- DDL txn ----------------------------------------------------------
     ddl_scn = -1
@@ -205,25 +233,26 @@ def generate(cfg: GenConfig) -> GenResult:
     opc, scn, scn_idx = col("op"), col("scn"), col("scn_idx")
     shard, committed, ev_cscn = col("shard"), col("committed"), col("commit_scn")
     n = len(ki)
-    xid = np.empty(n, dtype=object)
-    xid[:total] = np.char.add("x", ev_txn.astype("U9"))
-    pos = total
-    for e in extras:
-        k = len(e["ki"])
-        xid[pos:pos + k] = e["xid"]
-        pos += k
+    import pyarrow.compute as pc
+    xid = pa.concat_arrays(
+        [_as_array(pc.binary_join_element_wise(
+            "x", pc.cast(pa.array(ev_txn), pa.string()), ""))]
+        + [_as_array(pa.array(e["xid_arr"], pa.string())) for e in extras])
 
-    # payload values (deterministic functions of key + version)
+    # payload values (deterministic functions of key + version; Arrow kernels)
     text = _make_text(ki, ti, ver, cfg, rng)
-    role = ROLES[ti % 4]
+    role = _as_array(pa.array(ROLES).take(pa.array(ti % 4)))
     tool_code = (ki * 31 + ti * 7 + ver * 13) % 10
-    tool = np.char.add("tool", (tool_code % 5).astype("U2")).astype(object)
-    tool[tool_code < 3] = None
+    tool = _as_array(pa.array([f"tool{k}" for k in range(5)] + [None],
+                              pa.string()).take(
+        pa.array(np.where(tool_code < 3, 5, tool_code % 5))))
     ev_ts = EPOCH_US + scn * 1_000_000
     post_ddl = (ev_cscn > ddl_scn) if ddl_scn > 0 else np.zeros(n, bool)
     meta_code = (ki * 17 + ti * 3 + ver * 5) % 4
-    tool_meta = np.char.add("meta", meta_code.astype("U2")).astype(object)
-    tool_meta[~(post_ddl & (meta_code < 2))] = None
+    meta_populated = post_ddl & (meta_code < 2)
+    tool_meta = _as_array(pa.array([f"meta{k}" for k in range(4)] + [None],
+                                   pa.string()).take(
+        pa.array(np.where(meta_populated, meta_code, 4))))
 
     is_i = opc == "I"
     is_u = opc == "U"
@@ -240,34 +269,46 @@ def generate(cfg: GenConfig) -> GenResult:
         bit_meta = 1 << S.column_bit("tool_meta")
         upd_tool = is_u & ((ki + ti + ver) % 2 == 0)
         null_tool = upd_tool & ((ki * 3 + ver) % 5 == 0)
-        tool = np.where(null_tool, None, tool)
+        tool = _as_array(pc.if_else(pa.array(null_tool),
+                                    pa.nulls(n, pa.string()), tool))
         m = np.where(is_u, bit_text | bit_ts, full_bits)
         m = np.where(upd_tool, m | bit_tool, m)
-        m = np.where(is_u & post_ddl & (tool_meta != None), m | bit_meta, m)  # noqa: E711
+        m = np.where(is_u & post_ddl & meta_populated, m | bit_meta, m)
         mask = m.astype(np.int32)
 
-    # ---- assemble the full row set: DML + control (B/C/R/DDL) rows --------
-    ctl_rows = []  # (scn, scn_idx, shard, xid, op, ddl_json)
-    for t in range(n_txn):
-        ctl_rows.append((int(begin_scn[t]), 0, int(txn_shard[t]), f"x{t}", "B", None))
-        ctl_rows.append((int(commit_scn[t]), COMMIT_SCN_IDX, int(txn_shard[t]), f"x{t}", "C", None))
-    for xname, kind, b, e, sh in aux_txns:
-        ctl_rows.append((b, 0, int(sh), xname, "B", None))
-        if e is not None:
-            ctl_rows.append((e, COMMIT_SCN_IDX, int(sh), xname, "R", None))
+    # ---- control (B/C/R/DDL) rows, vectorized -----------------------------
+    committed_xids = np.char.add("x", np.arange(n_txn).astype("U9")).astype(object)
+    parts_scn = [begin_scn, commit_scn]
+    parts_idx = [np.zeros(n_txn, np.int64), np.full(n_txn, COMMIT_SCN_IDX, np.int64)]
+    parts_shard = [txn_shard, txn_shard]
+    parts_xid = [committed_xids, committed_xids]
+    parts_op = [np.full(n_txn, "B", dtype="U3"), np.full(n_txn, "C", dtype="U3")]
+    for a in aux_txn_arrays:
+        m = len(a["xid"])
+        parts_scn.append(a["begin"]); parts_idx.append(np.zeros(m, np.int64))
+        parts_shard.append(a["shard"]); parts_xid.append(a["xid"])
+        parts_op.append(np.full(m, "B", dtype="U3"))
+        term = a["end"] >= 0
+        if term.any():
+            parts_scn.append(a["end"][term])
+            parts_idx.append(np.full(int(term.sum()), COMMIT_SCN_IDX, np.int64))
+            parts_shard.append(a["shard"][term]); parts_xid.append(a["xid"][term])
+            parts_op.append(np.full(int(term.sum()), "R", dtype="U3"))
+    c_scn = np.concatenate(parts_scn).astype(np.int64)
+    c_idx = np.concatenate(parts_idx)
+    c_shard = np.concatenate(parts_shard).astype(np.int16)
+    c_xid = np.concatenate(parts_xid)
+    c_op = np.concatenate(parts_op)
+    c_ddl = np.full(len(c_scn), None, dtype=object)
     if ddl_scn > 0:
         payload = json.dumps({"add_columns": [{"name": "tool_meta", "type": "string"}]})
-        ctl_rows.append((ddl_scn - 1, 0, 0, "xddl", "B", None))
-        ctl_rows.append((ddl_scn, 1, 0, "xddl", "DDL", payload))
-        ctl_rows.append((ddl_scn, COMMIT_SCN_IDX, 0, "xddl", "C", None))
-
-    nc = len(ctl_rows)
-    c_scn = np.fromiter((r[0] for r in ctl_rows), np.int64, nc)
-    c_idx = np.fromiter((r[1] for r in ctl_rows), np.int64, nc)
-    c_shard = np.fromiter((r[2] for r in ctl_rows), np.int16, nc)
-    c_xid = np.array([r[3] for r in ctl_rows], dtype=object)
-    c_op = np.array([r[4] for r in ctl_rows], dtype=object)
-    c_ddl = np.array([r[5] for r in ctl_rows], dtype=object)
+        c_scn = np.concatenate([c_scn, [ddl_scn - 1, ddl_scn, ddl_scn]])
+        c_idx = np.concatenate([c_idx, [0, 1, COMMIT_SCN_IDX]])
+        c_shard = np.concatenate([c_shard, np.zeros(3, np.int16)]).astype(np.int16)
+        c_xid = np.concatenate([c_xid, np.array(["xddl"] * 3, dtype=object)])
+        c_op = np.concatenate([c_op, np.array(["B", "DDL", "C"], dtype="U3")])
+        c_ddl = np.concatenate([c_ddl, np.array([None, payload, None], dtype=object)])
+    nc = len(c_scn)
 
     def cat(a, b):
         return np.concatenate([a, b])
@@ -275,52 +316,53 @@ def generate(cfg: GenConfig) -> GenResult:
     all_scn = cat(scn, c_scn)
     all_idx = cat(scn_idx, c_idx)
     all_shard = cat(shard, c_shard)
-    all_xid = cat(xid, c_xid)
+    all_xid = pa.concat_arrays([xid, _as_array(pa.array(c_xid, pa.string()))])
     all_op = cat(opc, c_op)
     all_ddl = cat(np.full(n, None, dtype=object), c_ddl)
     nan_i32 = np.full(nc, -1, np.int64)
-    all_conv = cat(np.char.add("conv", ki.astype("U9")).astype(object),
-                   np.full(nc, None, dtype=object))
+    all_conv = pa.concat_arrays(
+        [_as_array(pa.array(np.char.add("conv", ki.astype("U9"))).cast(pa.string())),
+         pa.nulls(nc, pa.string())])
     all_turn = cat(ti, nan_i32)
     all_mask = cat(mask.astype(np.int64), np.zeros(nc, np.int64))
     all_ts = cat(ev_ts, EPOCH_US + c_scn * 1_000_000)
 
-    key_valid = np.concatenate([np.ones(n, bool), np.zeros(nc, bool)])
+    # image struct arrays (value children built ONCE, Arrow-masked) ---------
+    import pyarrow.compute as pc
+    names = [nm for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
+    types = {nm: t for nm, t in S.payload_columns(S.MAX_SCHEMA_VERSION)}
 
-    # image struct arrays ---------------------------------------------------
-    def image(valid_mask, values_null_when_unset):
-        pads = lambda a: np.concatenate([a, np.full(nc, None, dtype=object)])  # noqa: E731
-        role_a = pads(role.astype(object))
-        text_a = pads(np.array(text, dtype=object))
-        tool_a = pads(tool)
-        meta_a = pads(tool_meta)
-        ts_a = cat(ev_ts, np.zeros(nc, np.int64))
-        if values_null_when_unset is not None:
-            vm = values_null_when_unset
-            bit = lambda nm: np.concatenate([(vm & (1 << S.column_bit(nm))) != 0,  # noqa: E731
-                                             np.zeros(nc, bool)])
-            role_a = np.where(bit("role"), role_a, None)
-            text_a = np.where(bit("text"), text_a, None)
-            tool_a = np.where(bit("tool"), tool_a, None)
-            meta_a = np.where(bit("tool_meta"), meta_a, None)
-        fields = {
-            "role": pa.array(role_a, pa.string()),
-            "text": pa.array(text_a, pa.string()),
-            "tool": pa.array(tool_a, pa.string()),
-            "ts": pa.array(ts_a, pa.int64()).cast(pa.timestamp("us")),
-            "tool_meta": pa.array(meta_a, pa.string()),
-        }
-        cols = [fields[nm] for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
-        names = [nm for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
-        return pa.StructArray.from_arrays(cols, names=names,
-                                          mask=pa.array(~valid_mask))
+    def widen(arr, t: pa.DataType) -> pa.Array:
+        return _as_array(pa.concat_arrays([_as_array(arr.cast(t)), pa.nulls(nc, t)]))
 
+    children = {
+        "role": widen(role, pa.string()),
+        "text": widen(text, pa.string()),
+        "tool": widen(tool, pa.string()),
+        "ts": widen(pa.array(ev_ts, pa.int64()).cast(pa.timestamp("us")),
+                    pa.timestamp("us")),
+        "tool_meta": widen(tool_meta, pa.string()),
+    }
     has_after = np.concatenate([is_i | is_u, np.zeros(nc, bool)])
     has_before = np.concatenate([is_u | is_d, np.zeros(nc, bool)])
-    after_arr = image(has_after, mask if cfg.partial_images else None)
-    # before image: structurally real (undo-image slot); content mirrors the
-    # current version — nothing downstream consumes before-values (SURVEY §2.4)
-    before_arr = image(has_before & key_valid, None)
+
+    if cfg.partial_images:
+        full_mask_arr = np.concatenate([mask.astype(np.int64), np.zeros(nc, np.int64)])
+        after_children = []
+        for nm in names:
+            bit_set = pa.array((full_mask_arr & (1 << S.column_bit(nm))) != 0)
+            after_children.append(
+                pc.if_else(bit_set, children[nm], pa.nulls(n + nc, types[nm])))
+    else:
+        after_children = [children[nm] for nm in names]
+
+    after_arr = pa.StructArray.from_arrays(
+        after_children, names=names, mask=pa.array(~has_after))
+    # before image: structurally real (undo-image slot) with null fields —
+    # nothing downstream consumes before-values (SURVEY §2.4)
+    before_arr = pa.StructArray.from_arrays(
+        [pa.nulls(n + nc, types[nm]) for nm in names], names=names,
+        mask=pa.array(~has_before))
 
     tbl = pa.table(
         {
@@ -328,9 +370,9 @@ def generate(cfg: GenConfig) -> GenResult:
             "scn_idx": pa.array(all_idx, pa.int64()).cast(pa.int32()),
             "seq": pa.array(np.zeros(n + nc, np.int32)),
             "shard": pa.array(all_shard, pa.int16()),
-            "xid": pa.array(all_xid, pa.string()),
+            "xid": all_xid,
             "op": pa.array(all_op, pa.string()),
-            "conv_id": pa.array(all_conv, pa.string()),
+            "conv_id": all_conv,
             "turn_idx": pa.array(np.where(all_turn < 0, None, all_turn)).cast(pa.int32()),
             "before": before_arr,
             "after": after_arr,

@@ -1,0 +1,121 @@
+"""Stream-shaped operators over the `events` table (windowing/sessionization).
+
+Ray Data has no event-time windows; per the streaming-workloads pattern the
+input is treated as a keyed, ts-sorted log: tumbling windows are a pre-
+aggregated groupby on (key, window), sessions are per-key `map_groups` over
+the sorted group (gap rule). Reference analog: the engine's watermark
+bookkeeping is per-shard max-scn (SURVEY §2.5); these ops are the user-facing
+aggregation surface a CDC consumer typically runs downstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1h window per event_type: count + sum(value).
+
+    Pre-aggregates per batch (one row per (type, hour) per batch) before the
+    shuffle — the combiner pattern; the groupby moves partials only."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "hour"])
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sum_value", alias_name="sum_value")))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
+                               pa.compute.round(t["sum_value"], 6)),
+        batch_format="pyarrow")
+
+
+def sql_events_hourly(sf_dir: str) -> str:
+    return """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_events_sessions(sf_dir: str) -> rd.Dataset:
+    """Gap-based sessionization per user: a new session starts when the gap
+    to the previous event exceeds 30 min. Per-key `map_groups` over the
+    ts-sorted group — the documented partitioning assumption: all events of
+    one user_id co-located by the groupby."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        gap = g["ts"].diff().dt.total_seconds().fillna(np.inf)
+        sid = (gap > SESSION_GAP_MIN * 60).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("ts", "size"), sum_value=("value", "sum"))
+        out["sum_value"] = out["sum_value"].round(6)
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def sql_events_sessions(sf_dir: str) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q_events_topk_users(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k users by total value: pre-agg partials → small groupby → sort →
+    limit. The sort runs over one row per user, not per event."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("user_id", as_index=False)["value"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
+             .sort(["total_value", "user_id"], descending=[True, False])
+             .limit(k))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    import pyarrow.compute as pc
+    return t.set_column(t.schema.get_field_index("total_value"), "total_value",
+                        pc.round(t["total_value"], 6))
+
+
+def sql_events_topk_users(sf_dir: str, k: int = 20) -> str:
+    return f"""
+SELECT user_id, round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+ORDER BY sum(value) DESC, user_id LIMIT {k}
+"""

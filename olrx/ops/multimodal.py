@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the decode kernel is STUBBED:
+``decode_real=True`` raises ``NotImplementedError`` (clearly marked), and the
+default path uses a deterministic fake decoder (payload bytes → pseudo pixel
+stats / feature vector). Everything Ray-side is real and tested: schema with
+``large_binary`` payloads, small batch sizes for wide binary rows, actor-pool
+stage with one-time init, and the output layout a real decoder would feed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),            # "image" | "audio"
+    ("payload", pa.large_binary()),   # opaque encoded bytes
+    ("width", pa.int32()),            # typed metadata (image)
+    ("height", pa.int32()),
+    ("sample_rate", pa.int32()),      # typed metadata (audio)
+    ("n_bytes", pa.int64()),
+])
+
+
+def ensure_media(sf_dir_or_scale, root: str = "/tmp/olrx_data") -> str:
+    """Deterministic synthetic media table (seeded pseudo-bytes)."""
+    import os
+
+    from olrx.gen import scale_for_sf_dir
+
+    scale = (sf_dir_or_scale if isinstance(sf_dir_or_scale, float)
+             else scale_for_sf_dir(sf_dir_or_scale))
+    n = max(64, int(50_000 * scale))
+    path = os.path.join(root, f"media-{n}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(123)
+    kinds = np.where(rng.random(n) < 0.7, "image", "audio")
+    sizes = rng.integers(512, 8192, n)
+    payloads = [rng.integers(0, 256, s, dtype=np.uint8).tobytes() for s in sizes]
+    width = np.where(kinds == "image", rng.integers(64, 2048, n), -1).astype(np.int32)
+    height = np.where(kinds == "image", rng.integers(64, 2048, n), -1).astype(np.int32)
+    sr = np.where(kinds == "audio", 16_000, -1).astype(np.int32)
+    t = pa.table({
+        "media_id": pa.array(np.arange(n), pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "width": pa.array(width), "height": pa.array(height),
+        "sample_rate": pa.array(sr),
+        "n_bytes": pa.array(sizes.astype(np.int64)),
+    }).cast(MEDIA_SCHEMA)
+    os.makedirs(root, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    import os as _os
+    _os.replace(tmp, path)
+    return path
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode → feature-extract per media row.
+
+    Real codecs are not available in this environment:
+    - ``decode_real=True`` → NotImplementedError (STUB — wire Pillow/librosa
+      here on a cluster image that ships them; the Ray plumbing is unchanged)
+    - default: deterministic fake features derived from the payload bytes,
+      so the distributed pipeline (schema, batching, actor init) is testable.
+    """
+
+    def __init__(self, decode_real: bool = False, n_features: int = 8) -> None:
+        if decode_real:
+            raise NotImplementedError(
+                "STUB: real image/audio decoding needs codec libraries not "
+                "present in this container; plug a decoder in here.")
+        self.n_features = n_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = np.zeros((len(payloads), self.n_features), np.float32)
+        for i, b in enumerate(payloads):
+            arr = np.frombuffer(b, np.uint8)
+            # deterministic fake: moments over byte stripes ≈ "channel stats"
+            stripes = np.array_split(arr.astype(np.float32), self.n_features)
+            feats[i] = [s.mean() / 255.0 if len(s) else 0.0 for s in stripes]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "features": pa.array(list(feats), pa.list_(pa.float32())),
+        })
+
+
+def q_media_features(sf_dir: str) -> rd.Dataset:
+    """Feature extraction over binary media — small batch_size on purpose:
+    wide binary rows × concurrency must fit worker heaps."""
+    path = ensure_media(sf_dir)
+    ds = rd.read_parquet(path, columns=["media_id", "kind", "payload"])
+    return ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                          batch_size=256, concurrency=2, num_cpus=1)
+
+
+def q_media_stats(sf_dir: str) -> pa.Table:
+    """Typed-metadata aggregation (SQL-checkable: no decode involved)."""
+    path = ensure_media(sf_dir)
+    ds = rd.read_parquet(path, columns=["kind", "n_bytes"])
+    from ray.data.aggregate import Count, Max, Sum
+    out = ds.groupby("kind").aggregate(
+        Count(alias_name="n"), Sum("n_bytes", alias_name="total_bytes"),
+        Max("n_bytes", alias_name="max_bytes"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).cast(
+        pa.schema([("kind", pa.string()), ("n", pa.int64()),
+                   ("total_bytes", pa.int64()), ("max_bytes", pa.int64())]))
+
+
+def sql_media_stats(sf_dir: str) -> str:
+    path = ensure_media(sf_dir)
+    return f"""
+SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes, max(n_bytes) AS max_bytes
+FROM read_parquet('{path}') GROUP BY kind
+"""

@@ -1,0 +1,44 @@
+"""Registry of training-data / analysis operators for the driver contract.
+
+OPS_QUERIES: name → callable(sf_dir) → Dataset | DataFrame | Table
+OPS_ORACLES: name → callable(sf_dir) → DuckDB SQL string (omit = rows-only)
+"""
+
+from __future__ import annotations
+
+from olrx.ops import dedup, events, multimodal, similarity, text
+
+OPS_QUERIES = {
+    # text analysis
+    "text_stats": text.q_text_stats,
+    "text_quality": text.q_text_quality,
+    "lang_id": text.q_lang_id,
+    "doc_fingerprints": text.q_fingerprints,
+    # dedup
+    "dedup_exact": dedup.q_dedup_exact,
+    "dedup_minhash": dedup.q_dedup_minhash,
+    "dedup_simhash": dedup.q_dedup_simhash,
+    "embedding_pairs_exact": dedup.q_embedding_pairs_exact,
+    "embedding_neardup_lsh": dedup.q_embedding_neardup_lsh,
+    # similarity search
+    "ann_bruteforce": similarity.q_ann_bruteforce,
+    "ann_lsh": similarity.q_ann_lsh,
+    # multimodal plumbing
+    "media_features": multimodal.q_media_features,
+    "media_stats": multimodal.q_media_stats,
+    # stream-shaped aggregations
+    "events_hourly": events.q_events_hourly,
+    "events_sessions": events.q_events_sessions,
+    "events_topk_users": events.q_events_topk_users,
+}
+
+OPS_ORACLES = {
+    "text_stats": text.sql_text_stats,
+    "dedup_exact": dedup.sql_dedup_exact,
+    "embedding_pairs_exact": dedup.sql_embedding_pairs_exact,
+    "ann_bruteforce": similarity.sql_ann_bruteforce,
+    "media_stats": multimodal.sql_media_stats,
+    "events_hourly": events.sql_events_hourly,
+    "events_sessions": events.sql_events_sessions,
+    "events_topk_users": events.sql_events_topk_users,
+}

@@ -33,7 +33,8 @@ import ray.data as rd
 
 from olrx import schema as S
 from olrx.stages.apply import apply_stats, merge_apply
-from olrx.stages.decode import EVENT_COLUMNS, CommitResolver, ControlInfo, load_control
+from olrx.stages.decode import (EVENT_COLUMNS, ControlInfo, load_control,
+                               make_resolver)
 from olrx.stages.partition import detect_hot_keys
 from olrx.state import manifest as MF
 
@@ -91,17 +92,10 @@ def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
         hot_ref = ray.put(hot)
     ds = rd.read_parquet(paths, columns=EVENT_COLUMNS)
     return ds.map_batches(
-        CommitResolver,
+        make_resolver(commit_ref, cfg.num_partitions, hot_ref,
+                      cfg.salt_block, min_commit_scn_excl),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.resolved_decode_concurrency(),
-        fn_constructor_kwargs=dict(
-            commit_ref=commit_ref,
-            num_partitions=cfg.num_partitions,
-            hot_ref=hot_ref,
-            salt_block=cfg.salt_block,
-            min_commit_scn_excl=min_commit_scn_excl,
-        ),
     )
 
 

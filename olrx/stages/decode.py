@@ -88,17 +88,24 @@ def load_control(paths: list[str]) -> ControlInfo:
 
 
 class CommitResolver:
-    """Actor-pool stage: committed-DML filter + image flatten + partition id.
+    """Decode stage: committed-DML filter + image flatten + partition id.
 
-    State (commit map, hot-key set) is fetched from the object store once per
-    actor in ``__init__`` — the reference's load-once pattern
-    (/root/reference/src/locales/Locales.cpp via OpenLogReplicator.cpp:146-148).
+    Usable two ways:
+    - stateless `map_batches(fn)` via :func:`make_resolver` — broadcast state
+      (commit map, hot set) is a ``ray.put`` ref fetched per call; the fetch
+      is a zero-copy read from the node's shared object store (~µs), so task
+      workers (which Ray reuses across dataset executions) beat an actor pool
+      (which re-spawns processes per execution). This is the default.
+    - actor pool (`map_batches(CommitResolver, concurrency=N, ...)`) when the
+      per-actor init ever becomes genuinely expensive — the reference's
+      load-once pattern (/root/reference/src/locales/Locales.cpp via
+      OpenLogReplicator.cpp:146-148).
     """
 
     def __init__(self, commit_ref, num_partitions: int,
                  hot_ref=None, salt_block: int = 64,
                  min_commit_scn_excl: int = -1):
-        self.commit_map: pa.Table = ray.get(commit_ref)
+        self.commit_map: pa.Table = ray.get(commit_ref) if commit_ref is not None else None
         self.num_partitions = num_partitions
         self.hot: frozenset = ray.get(hot_ref) if hot_ref is not None else frozenset()
         self.salt_block = salt_block
@@ -152,3 +159,20 @@ class CommitResolver:
         fields += [(f"v_{n}", t) for n, t in S.payload_columns(S.MAX_SCHEMA_VERSION)]
         fields += [("part", pa.int32())]
         return pa.table({n: pa.array([], t) for n, t in fields})
+
+
+def make_resolver(commit_ref, num_partitions: int, hot_ref=None,
+                  salt_block: int = 64, min_commit_scn_excl: int = -1):
+    """Stateless decode fn for `map_batches`. The resolver object is built
+    lazily once per worker process and cached — `ray.get` on the broadcast
+    refs is a zero-copy shared-memory read, so there is no per-batch cost
+    and no actor-spawn cost per dataset execution."""
+    holder: list[CommitResolver] = []
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if not holder:
+            holder.append(CommitResolver(commit_ref, num_partitions, hot_ref,
+                                         salt_block, min_commit_scn_excl))
+        return holder[0](batch)
+
+    return fn

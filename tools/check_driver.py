@@ -29,14 +29,17 @@ def to_pdf(obj) -> pd.DataFrame:
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        dt = str(df[c].dtype)
+        if df[c].dtype == object and not df[c].map(lambda v: isinstance(v, (int, float)) or v is None).all():
             df[c] = df[c].astype(str)
-        if str(df[c].dtype).startswith(("float", "double")):
-            df[c] = df[c].round(9)
-        if str(df[c].dtype).startswith("datetime"):
+        elif dt.startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object or dt.startswith(("float", "double", "int", "uint")):
+            df[c] = df[c].astype(np.float64).round(6)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
