@@ -27,7 +27,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: input scale for --scaling runs: large enough that per-run fixed overhead
 #: (worker/actor spawn ~2-5 s) is amortized and both runs are compute-bound
-SCALING_SCALE = float(os.environ.get("OLRX_SCALING_SCALE", "1.0"))
+SCALING_SCALE = float(os.environ.get("OLRX_SCALING_SCALE", "8.0"))
 
 
 def run_bench() -> dict:
@@ -46,7 +46,10 @@ def run_bench() -> dict:
 
     _override = os.environ.get("OLRX_BENCH_SCALE", "").strip()
     sf = float(_override) if _override else scale_for_sf_dir(SF_DIR)
-    gen_cfg = GenConfig(scale=sf)
+    # more log segments at bench scale: read parallelism is file-granular,
+    # and a real deployment has many archived segments, not 8
+    segs = max(4, int(16 * sf))
+    gen_cfg = GenConfig(scale=sf, segments_per_shard=segs)
     d = ensure_changelog(gen_cfg)          # cached; generation not timed
     paths = sorted(glob.glob(d + "/*.parquet"))
 

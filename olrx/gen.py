@@ -414,7 +414,8 @@ def write_segments(res: GenResult, out_dir: str) -> list[str]:
             part = tbl.take(pa.array(sel))
             p = os.path.join(out_dir, f"shard{sh:02d}-seg{sq:04d}.parquet")
             tmp = p + ".tmp"
-            pq.write_table(part, tmp)
+            # modest row groups → finer read splits / row-group pruning
+            pq.write_table(part, tmp, row_group_size=131_072)
             os.replace(tmp, p)
             paths.append(p)
     return sorted(paths)

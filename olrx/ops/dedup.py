@@ -77,7 +77,7 @@ class MinHasher:
     """Per-batch minhash signatures; permutation coefficients generated once
     per worker (seeded → identical across workers)."""
 
-    def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 7) -> None:
+    def __init__(self, num_perm: int = 128, k: int = 5, seed: int = 7) -> None:
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
@@ -99,7 +99,7 @@ class MinHasher:
         })
 
 
-def minhash_band_rows(batch: pa.Table, bands: int = 8) -> pa.Table:
+def minhash_band_rows(batch: pa.Table, bands: int = 16) -> pa.Table:
     """Explode signatures into (band_id, band_hash, doc_id) rows — the LSH
     bucketing key for the groupby."""
     sigs = np.stack(batch["sig"].to_pandas().to_numpy())
@@ -129,7 +129,7 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": ids[i], "b": ids[j]})
 
 
-def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 8
+def minhash_candidates(sf_dir: str, num_perm: int = 128, bands: int = 16
                        ) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,

@@ -77,13 +77,17 @@ def q_cdc_committed_events(sf_dir: str) -> rd.Dataset:
     paths = changelog_paths_for(sf_dir)
     control = load_control(paths)
     ds = _decoded_events(paths, _replay_cfg(), control)
-    ds = ds.map_batches(
-        lambda t: t.rename_columns(
+    from olrx.stages.decode import OP_LETTER
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("op", OP_LETTER.take(t["op_code"].combine_chunks().cast(pa.int32())))
+        t = t.drop_columns(["part", "changed_mask", "op_code"])
+        return t.rename_columns(
             [{"v_role": "role", "v_text": "text", "v_tool": "tool",
               "v_ts": "img_ts", "v_tool_meta": "tool_meta"}.get(c, c)
-             for c in t.column_names]).drop_columns(["part", "changed_mask"]),
-        batch_format="pyarrow")
-    return ds
+             for c in t.column_names])
+
+    return ds.map_batches(finish, batch_format="pyarrow")
 
 
 def sql_cdc_committed_events(sf_dir: str) -> str:

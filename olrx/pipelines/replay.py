@@ -25,6 +25,7 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -42,7 +43,13 @@ from olrx.state import manifest as MF
 @dataclass
 class ReplayConfig:
     num_partitions: int = 32        # ≥ 4× apply parallelism for balance
-    batch_size: int = 32_768        # decode batch rows
+    batch_size: int = 131_072       # decode batch rows (coarse: task overhead
+                                    # dominates below ~20 MB blocks)
+    read_blocks: int | None = None  # override_num_blocks for reads; None →
+                                    # ~3× CPUs (coarse blocks; Ray's default
+                                    # over-splits small files into ms-scale
+                                    # tasks and the driver becomes the
+                                    # scheduling bottleneck)
     decode_concurrency: int | None = None  # None → ~half the CPUs
     salt_hot: bool = False          # heavy-hitter detection + turn-salting
     hot_frac_threshold: float = 0.02
@@ -74,6 +81,11 @@ class ReplayConfig:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         return max(2, cpus // 2)
 
+    def resolved_read_blocks(self) -> int:
+        if self.read_blocks:
+            return self.read_blocks
+        return 3 * int(ray.cluster_resources().get("CPU", 8))
+
 
 @dataclass
 class ReplayResult:
@@ -85,12 +97,13 @@ class ReplayResult:
 
 def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
                     min_commit_scn_excl: int = -1) -> rd.Dataset:
-    commit_ref = ray.put(control.commit_map)
+    commit_ref = ray.put(control.commit_lookup_arrays())
     hot_ref = None
     if cfg.salt_hot:
         hot = detect_hot_keys(paths, frac_threshold=cfg.hot_frac_threshold)
         hot_ref = ray.put(hot)
-    ds = rd.read_parquet(paths, columns=EVENT_COLUMNS)
+    ds = rd.read_parquet(paths, columns=EVENT_COLUMNS,
+                         override_num_blocks=cfg.resolved_read_blocks())
     return ds.map_batches(
         make_resolver(commit_ref, cfg.num_partitions, hot_ref,
                       cfg.salt_block, min_commit_scn_excl),
@@ -186,7 +199,7 @@ def _base_as_events(base: pa.Table, m: MF.PartitionManifest) -> pa.Table:
     cols: dict[str, object] = {
         "conv_id": base["conv_id"],
         "turn_idx": base["turn_idx"],
-        "op": pa.array(["I"] * n),
+        "op_code": pa.array(np.full(n, 0), pa.int8()),  # OP_I
         "commit_scn": pa.array([m.watermark_commit_scn] * n, pa.int64()),
         "scn": pa.array([-1] * n, pa.int64()),
         "scn_idx": pa.array([-1] * n, pa.int32()),

@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from olrx import schema as S
+from olrx.stages.decode import OP_D, OP_I, OP_U
 
 
 def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
@@ -55,14 +56,14 @@ def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
     seg_starts = np.flatnonzero(new_seg)
     seg_of = np.cumsum(new_seg) - 1
 
-    op = sorted_tbl["op"].to_numpy(zero_copy_only=False)
+    op = sorted_tbl["op_code"].to_numpy(zero_copy_only=False)
     mask = sorted_tbl["changed_mask"].to_numpy(zero_copy_only=False).astype(np.int64)
     idx = np.arange(n, dtype=np.int64)
 
     def seg_max(values: np.ndarray) -> np.ndarray:
         return np.maximum.reduceat(values, seg_starts)
 
-    is_d = op == "D"
+    is_d = op == OP_D
     last_d = seg_max(np.where(is_d, idx, -1))
     last_alive = seg_max(np.where(~is_d, idx, -1))
     exists = last_alive > last_d                      # row survives its last delete
@@ -94,10 +95,10 @@ def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
 def apply_stats(group: pa.Table) -> dict[str, int]:
     """Lineage counters for a partition's event group (reference analog:
     dml_ops / transactions metrics, /root/reference/src/common/metrics/Metrics.h)."""
-    op = group["op"].to_numpy(zero_copy_only=False)
+    op = group["op_code"].to_numpy(zero_copy_only=False)
     return {
         "events": len(op),
-        "inserts": int((op == "I").sum()),
-        "updates": int((op == "U").sum()),
-        "deletes": int((op == "D").sum()),
+        "inserts": int((op == OP_I).sum()),
+        "updates": int((op == OP_U).sum()),
+        "deletes": int((op == OP_D).sum()),
     }

@@ -26,6 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -41,6 +42,11 @@ CONTROL_COLUMNS = ["xid", "op", "scn", "scn_idx", "ddl", "shard"]
 EVENT_COLUMNS = ["scn", "scn_idx", "xid", "op", "conv_id", "turn_idx",
                  "after", "changed_mask"]
 
+#: compact op encoding used downstream of decode (shrinks the shuffle payload
+#: and turns apply-side comparisons into int8 ops)
+OP_I, OP_U, OP_D = np.int8(0), np.int8(1), np.int8(2)
+OP_LETTER = pa.array(["I", "U", "D"])
+
 
 @dataclass
 class ControlInfo:
@@ -53,14 +59,28 @@ class ControlInfo:
     def schema_version(self) -> int:
         return min(len(self.ddl_scns), S.MAX_SCHEMA_VERSION)
 
+    def commit_lookup_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted xid-hashes, aligned commit_scns) for the broadcast
+        searchsorted lookup. 64-bit hashing: collision odds at 10^8 txns are
+        ~(10^8)²/2^64 ≈ 5e-4 per full run — acceptable for dedup-style keys;
+        flip to a (hash, xid-verify) two-step if ever not."""
+        xids = np.asarray(self.commit_map["xid"].to_numpy(zero_copy_only=False),
+                          dtype=object)
+        h = pd.util.hash_array(xids)
+        order = np.argsort(h)
+        return h[order], self.commit_map["commit_scn"].to_numpy()[order]
+
 
 def _control_batch(t: pa.Table) -> pa.Table:
     return t.filter(pc.is_in(t["op"], value_set=pa.array(["C", "DDL", "R"])))
 
 
-def load_control(paths: list[str]) -> ControlInfo:
+def load_control(paths: list[str], read_blocks: int | None = None) -> ControlInfo:
     """Pruned-column pass over the changelog collecting control rows."""
-    ds = rd.read_parquet(paths, columns=CONTROL_COLUMNS)
+    if read_blocks is None:
+        read_blocks = 2 * int(ray.cluster_resources().get("CPU", 8))
+    ds = rd.read_parquet(paths, columns=CONTROL_COLUMNS,
+                         override_num_blocks=read_blocks)
     ctl = pa.Table.from_pandas(
         ds.map_batches(_control_batch, batch_format="pyarrow").to_pandas(),
         preserve_index=False,
@@ -105,7 +125,8 @@ class CommitResolver:
     def __init__(self, commit_ref, num_partitions: int,
                  hot_ref=None, salt_block: int = 64,
                  min_commit_scn_excl: int = -1):
-        self.commit_map: pa.Table = ray.get(commit_ref) if commit_ref is not None else None
+        self._commit_hashes, self._commit_scns = (
+            ray.get(commit_ref) if commit_ref is not None else (None, None))
         self.num_partitions = num_partitions
         self.hot: frozenset = ray.get(hot_ref) if hot_ref is not None else frozenset()
         self.salt_block = salt_block
@@ -117,34 +138,47 @@ class CommitResolver:
         dml = batch.filter(pc.is_in(batch["op"], value_set=pa.array(["I", "U", "D"])))
         if dml.num_rows == 0:
             return self._empty()
-        # flatten the image struct first — Acero hash join rejects nested types
+        # commit lookup: hashed xid → binary-search into the broadcast sorted
+        # hash array. O(batch·log #txns) with zero per-batch build cost —
+        # an Acero hash join here rebuilds its O(#txns) hash table for EVERY
+        # batch, which measured 16× the probe cost (see git history).
+        xid_h = pd.util.hash_array(
+            np.asarray(dml["xid"].to_numpy(zero_copy_only=False), dtype=object))
+        pos = np.searchsorted(self._commit_hashes, xid_h)
+        pos = np.clip(pos, 0, len(self._commit_hashes) - 1)
+        found = self._commit_hashes[pos] == xid_h
+        commit_scn = self._commit_scns[pos]
+        keep = found
+        if self.min_commit_scn_excl >= 0:
+            keep = keep & (commit_scn > self.min_commit_scn_excl)
+        if not keep.all():
+            sel = pa.array(np.flatnonzero(keep))
+            dml = dml.take(sel)
+            commit_scn = commit_scn[keep]
+        if dml.num_rows == 0:
+            return self._empty()
+
         after = dml["after"].combine_chunks()
         present = {f.name for f in after.type}
-        flat = dml.drop_columns(["after"])
+        op_str = dml["op"].to_numpy(zero_copy_only=False)
+        op_code = np.full(len(op_str), OP_U, np.int8)
+        op_code[op_str == "I"] = OP_I
+        op_code[op_str == "D"] = OP_D
+        cols: dict[str, object] = {
+            "conv_id": dml["conv_id"],
+            "turn_idx": dml["turn_idx"],
+            "op_code": pa.array(op_code, pa.int8()),
+            "commit_scn": pa.array(commit_scn, pa.int64()),
+            "scn": dml["scn"],
+            "scn_idx": dml["scn_idx"],
+            "changed_mask": dml["changed_mask"],
+        }
         for name, typ in zip(self.payload_cols, self.payload_types):
             if name in present:
-                flat = flat.append_column(f"v_{name}", pc.struct_field(after, name))
+                cols[f"v_{name}"] = pc.struct_field(after, name)
             else:  # narrower pre-DDL segment schema: additive column reads null
-                flat = flat.append_column(f"v_{name}", pa.nulls(dml.num_rows, typ))
-        # inner join == drop uncommitted (rollback/open) txns
-        joined = flat.join(self.commit_map, keys="xid", join_type="inner")
-        if self.min_commit_scn_excl >= 0 and joined.num_rows:
-            joined = joined.filter(
-                pc.greater(joined["commit_scn"], self.min_commit_scn_excl))
-        if joined.num_rows == 0:
-            return self._empty()
-        cols: dict[str, pa.Array | pa.ChunkedArray] = {
-            "conv_id": joined["conv_id"],
-            "turn_idx": joined["turn_idx"],
-            "op": joined["op"],
-            "commit_scn": joined["commit_scn"],
-            "scn": joined["scn"],
-            "scn_idx": joined["scn_idx"],
-            "changed_mask": joined["changed_mask"],
-        }
-        for name in self.payload_cols:
-            cols[f"v_{name}"] = joined[f"v_{name}"]
-        part = partition_ids(joined["conv_id"], joined["turn_idx"],
+                cols[f"v_{name}"] = pa.nulls(dml.num_rows, typ)
+        part = partition_ids(dml["conv_id"], dml["turn_idx"],
                              self.num_partitions, self.hot, self.salt_block)
         cols["part"] = pa.array(part, pa.int32())
         return pa.table(cols)
@@ -152,7 +186,7 @@ class CommitResolver:
     def _empty(self) -> pa.Table:
         fields = [
             ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-            ("op", pa.string()), ("commit_scn", pa.int64()),
+            ("op_code", pa.int8()), ("commit_scn", pa.int64()),
             ("scn", pa.int64()), ("scn_idx", pa.int32()),
             ("changed_mask", pa.int32()),
         ]

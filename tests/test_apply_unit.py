@@ -11,11 +11,12 @@ BIT = {n: 1 << S.column_bit(n) for n, _ in S.payload_columns(1)}
 
 def _events(rows):
     """rows: (conv, turn, op, commit_scn, scn, scn_idx, mask, role, text, tool, ts, meta)"""
+    code = {"I": 0, "U": 1, "D": 2}
     cols = list(zip(*rows))
     t = {
         "conv_id": pa.array(cols[0], pa.string()),
         "turn_idx": pa.array(cols[1], pa.int32()),
-        "op": pa.array(cols[2], pa.string()),
+        "op_code": pa.array([code[o] for o in cols[2]], pa.int8()),
         "commit_scn": pa.array(cols[3], pa.int64()),
         "scn": pa.array(cols[4], pa.int64()),
         "scn_idx": pa.array(cols[5], pa.int32()),

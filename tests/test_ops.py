@@ -1,0 +1,130 @@
+"""Training-data ops: dedup, similarity, text, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted_docs(tmp_path_factory):
+    """Tiny documents table with planted exact + near duplicates."""
+    d = tmp_path_factory.mktemp("docs")
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest looking for food " * 3)
+    texts = [
+        base,                           # 0
+        base,                           # 1 exact dup of 0
+        base.replace("lazy", "sleepy"),  # 2 near dup of 0
+        "completely different text about ships and oceans " * 5,  # 3
+        "another unrelated document regarding cooking recipes " * 5,  # 4
+        base.replace("fox", "cat"),     # 5 near dup of 0
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["t"] * len(texts)),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_exact_counts(planted_docs):
+    from olrx.ops.dedup import q_dedup_exact
+
+    out = q_dedup_exact(planted_docs).to_pandas().sort_values("doc_id")
+    by_id = dict(zip(out.doc_id, out.n_dupes))
+    assert by_id[0] == 2          # docs 0,1 identical
+    assert len(out) == 5          # 6 docs, one exact-dup pair
+
+
+def test_dedup_minhash_finds_planted_neardups(planted_docs):
+    from olrx.ops.dedup import q_dedup_minhash
+
+    out = q_dedup_minhash(planted_docs, threshold=0.6).to_pandas()
+    clusters = dict(zip(out.doc_id, out.cluster_id))
+    # 0,1 exact; 2 and 5 are near-dups of 0 — all one cluster
+    assert clusters.get(0) == clusters.get(1) == clusters.get(2) == clusters.get(5)
+    # unrelated docs not clustered with 0
+    assert 3 not in clusters or clusters[3] != clusters[0]
+
+
+def test_dedup_simhash_pairs(planted_docs):
+    from olrx.ops.dedup import q_dedup_simhash
+
+    out = q_dedup_simhash(planted_docs).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert (0, 1) in pairs        # identical docs have identical simhash
+
+
+def test_ann_bruteforce_matches_numpy():
+    from olrx.ops.similarity import q_ann_bruteforce
+
+    out = q_ann_bruteforce(SF, n_queries=4, k=3).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    qsel = order[:4]
+    for qi in qsel:
+        scores = m[qi] @ m.T
+        scores[qi] = -2
+        expect = set(ids[np.argsort(-scores)[:3]])
+        got = set(out[out.query_id == ids[qi]].vec_id)
+        assert got == expect, (ids[qi], got, expect)
+
+
+def test_text_stats_basic(planted_docs):
+    from olrx.ops.text import q_text_stats
+
+    out = q_text_stats(planted_docs).to_pandas().set_index("doc_id")
+    assert (out["n_tokens"] > 0).all()
+    assert out.loc[0, "n_tokens"] == out.loc[1, "n_tokens"]
+
+
+def test_lang_id_english(planted_docs):
+    from olrx.ops.text import q_lang_id
+
+    out = q_lang_id(planted_docs).to_pandas().set_index("doc_id")
+    # docs 0/1/2/5 contain English stopwords → en; others may be unknown
+    assert (out.loc[[0, 1, 2, 5], "lang_pred"] == "en").all()
+    assert set(out["lang_pred"]) <= {"en", "und"}
+
+
+def test_media_plumbing_deterministic():
+    from olrx.ops.multimodal import MediaFeatureExtractor, ensure_media
+
+    path = ensure_media(0.001)
+    t = pq.read_table(path).slice(0, 16)
+    fx = MediaFeatureExtractor()
+    out1 = fx(t)
+    out2 = fx(t)
+    assert out1.equals(out2)
+    assert out1["features"].type == pa.list_(pa.float32())
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decode_real=True)
+
+
+def test_condition_language():
+    from olrx.functions.condition import Condition
+
+    b = pa.table({
+        "op": ["I", "U", "D", "I"],
+        "role": ["user", "tool", "user", None],
+        "n": [1, 2, 3, 4],
+    })
+    assert Condition("op == 'I'").mask(b).to_pylist() == [True, False, False, True]
+    assert Condition("op == 'I' AND role != NULL").filter(b).num_rows == 1
+    assert Condition("role IN ('user','tool') OR n == 4").mask(b).to_pylist() == \
+        [True, True, True, True]
+    assert Condition("NOT (op == 'D')").mask(b).to_pylist() == [True, True, False, True]
+    with pytest.raises(ValueError):
+        Condition("op === 'I'")
+    with pytest.raises(ValueError):
+        Condition("op == 'I' garbage trailing")
