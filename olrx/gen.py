@@ -106,6 +106,23 @@ def _make_text(ki: np.ndarray, ti: np.ndarray, ver: np.ndarray,
 
     n = len(ki)
     pad = (rng.integers(0, 120, n) // 6).astype(np.int64)
+    step = 8_000_000
+    if n > step:   # chunk: a single string Array caps at 2 GiB
+        chunks = []
+        # consume rng draws identically regardless of chunking: pad drawn above
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            sub = _make_text_chunk(ki[lo:hi], ti[lo:hi], ver[lo:hi],
+                                   pad[lo:hi], cfg, offset=lo)
+            chunks.extend(sub.chunks)
+        return pa.chunked_array(chunks)
+    return _make_text_chunk(ki, ti, ver, pad, cfg, offset=0)
+
+
+def _make_text_chunk(ki, ti, ver, pad, cfg: GenConfig, offset: int) -> pa.ChunkedArray:
+    import pyarrow.compute as pc
+
+    n = len(ki)
     filler = pa.array(["lorem " * k for k in range(20)]).take(pa.array(pad))
     prefix = pc.binary_join_element_wise(
         "conv", pc.cast(pa.array(ki), pa.string()),
@@ -113,12 +130,14 @@ def _make_text(ki: np.ndarray, ti: np.ndarray, ver: np.ndarray,
         "-v", pc.cast(pa.array(ver), pa.string()), " ", "")
     k = cfg.special_char_every
     if k:
-        i = np.arange(n)
+        i = np.arange(offset, offset + n)
         spec_idx = np.where(i % k == 0, (i // k) % len(SPECIAL_SNIPPETS),
                             len(SPECIAL_SNIPPETS))
         spec = pa.array(SPECIAL_SNIPPETS + [""]).take(pa.array(spec_idx))
-        return _as_array(pc.binary_join_element_wise(prefix, filler, spec, ""))
-    return _as_array(pc.binary_join_element_wise(prefix, filler, ""))
+        joined = pc.binary_join_element_wise(prefix, filler, spec, "")
+    else:
+        joined = pc.binary_join_element_wise(prefix, filler, "")
+    return joined if isinstance(joined, pa.ChunkedArray) else pa.chunked_array([joined])
 
 
 def generate(cfg: GenConfig) -> GenResult:
@@ -327,71 +346,87 @@ def generate(cfg: GenConfig) -> GenResult:
     all_mask = cat(mask.astype(np.int64), np.zeros(nc, np.int64))
     all_ts = cat(ev_ts, EPOCH_US + c_scn * 1_000_000)
 
-    # image struct arrays (value children built ONCE, Arrow-masked) ---------
+    # ---- chunked assembly in redo-stream order ----------------------------
+    # Arrow caps a single (string/struct) Array at 2 GiB; at bench scales the
+    # text column alone exceeds that, so the sorted table is assembled in
+    # row chunks (numpy computes the global sort order; each chunk takes its
+    # slice of every source column and builds its own struct arrays).
     import pyarrow.compute as pc
     names = [nm for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
     types = {nm: t for nm, t in S.payload_columns(S.MAX_SCHEMA_VERSION)}
+    N = n + nc
 
-    def widen(arr, t: pa.DataType) -> pa.Array:
-        return _as_array(pa.concat_arrays([_as_array(arr.cast(t)), pa.nulls(nc, t)]))
-
-    children = {
-        "role": widen(role, pa.string()),
-        "text": widen(text, pa.string()),
-        "tool": widen(tool, pa.string()),
-        "ts": widen(pa.array(ev_ts, pa.int64()).cast(pa.timestamp("us")),
-                    pa.timestamp("us")),
-        "tool_meta": widen(tool_meta, pa.string()),
-    }
     has_after = np.concatenate([is_i | is_u, np.zeros(nc, bool)])
     has_before = np.concatenate([is_u | is_d, np.zeros(nc, bool)])
+    full_mask_arr = np.concatenate([mask.astype(np.int64), np.zeros(nc, np.int64)])
+    all_turn_valid = all_turn >= 0
 
-    if cfg.partial_images:
-        full_mask_arr = np.concatenate([mask.astype(np.int64), np.zeros(nc, np.int64)])
-        after_children = []
-        for nm in names:
-            bit_set = pa.array((full_mask_arr & (1 << S.column_bit(nm))) != 0)
-            after_children.append(
-                pc.if_else(bit_set, children[nm], pa.nulls(n + nc, types[nm])))
-    else:
-        after_children = [children[nm] for nm in names]
+    order = np.lexsort((all_idx, all_scn, all_shard))
+    scn_sorted = all_scn[order]
+    span = max(1, (int(scn_sorted.max()) - SCN0 + 1) // cfg.segments_per_shard + 1)
+    seq_sorted = ((scn_sorted - SCN0).clip(min=0) // span).astype(np.int32)
 
-    after_arr = pa.StructArray.from_arrays(
-        after_children, names=names, mask=pa.array(~has_after))
-    # before image: structurally real (undo-image slot) with null fields —
-    # nothing downstream consumes before-values (SURVEY §2.4)
-    before_arr = pa.StructArray.from_arrays(
-        [pa.nulls(n + nc, types[nm]) for nm in names], names=names,
-        mask=pa.array(~has_before))
+    # DML-only value sources (length n); control rows read as null
+    def dml_value(src, sel, t):
+        """Gather rows `sel` (global indices) from a DML-length source."""
+        in_dml = sel < n
+        safe = np.where(in_dml, sel, 0)
+        if isinstance(src, np.ndarray):
+            vals = pa.array(src[safe]).cast(t)
+        else:  # pa.Array | pa.ChunkedArray
+            vals = _as_array(src.take(pa.array(safe)).cast(t))
+        if in_dml.all():
+            return vals
+        return _as_array(pc.if_else(pa.array(in_dml), vals, pa.nulls(len(sel), t)))
 
-    tbl = pa.table(
-        {
-            "scn": pa.array(all_scn, pa.int64()),
-            "scn_idx": pa.array(all_idx, pa.int64()).cast(pa.int32()),
-            "seq": pa.array(np.zeros(n + nc, np.int32)),
-            "shard": pa.array(all_shard, pa.int16()),
-            "xid": all_xid,
-            "op": pa.array(all_op, pa.string()),
-            "conv_id": all_conv,
-            "turn_idx": pa.array(np.where(all_turn < 0, None, all_turn)).cast(pa.int32()),
+    CHUNK = 4_000_000
+    tables = []
+    for lo in range(0, N, CHUNK):
+        sel = order[lo:lo + CHUNK]
+        m = len(sel)
+        kids = {
+            "role": dml_value(role, sel, pa.string()),
+            "text": dml_value(text, sel, pa.string()),
+            "tool": dml_value(tool, sel, pa.string()),
+            "ts": dml_value(ev_ts, sel, pa.timestamp("us")),
+            "tool_meta": dml_value(tool_meta, sel, pa.string()),
+        }
+        if cfg.partial_images:
+            fm = full_mask_arr[sel]
+            after_children = [
+                _as_array(pc.if_else(pa.array((fm & (1 << S.column_bit(nm))) != 0),
+                                     kids[nm], pa.nulls(m, types[nm])))
+                for nm in names]
+        else:
+            after_children = [kids[nm] for nm in names]
+        after_arr = pa.StructArray.from_arrays(
+            after_children, names=names, mask=pa.array(~has_after[sel]))
+        # before image: structurally real (undo-image slot) with null fields —
+        # nothing downstream consumes before-values (SURVEY §2.4)
+        before_arr = pa.StructArray.from_arrays(
+            [pa.nulls(m, types[nm]) for nm in names], names=names,
+            mask=pa.array(~has_before[sel]))
+        sel_pa = pa.array(sel)
+        tables.append(pa.table({
+            "scn": pa.array(all_scn[sel], pa.int64()),
+            "scn_idx": pa.array(all_idx[sel]).cast(pa.int32()),
+            "seq": pa.array(seq_sorted[lo:lo + CHUNK]),
+            "shard": pa.array(all_shard[sel], pa.int16()),
+            "xid": _as_array(all_xid.take(sel_pa)),
+            "op": pa.array(all_op[sel], pa.string()),
+            "conv_id": _as_array(all_conv.take(sel_pa)),
+            "turn_idx": _as_array(pc.if_else(pa.array(all_turn_valid[sel]),
+                                             pa.array(all_turn[sel]).cast(pa.int32()),
+                                             pa.nulls(m, pa.int32()))),
             "before": before_arr,
             "after": after_arr,
-            "changed_mask": pa.array(all_mask, pa.int64()).cast(pa.int32()),
-            "changed_cols": pa.nulls(n + nc, pa.list_(pa.string())),
-            "ddl": pa.array(all_ddl, pa.string()),
-            "ts": pa.array(all_ts, pa.int64()).cast(pa.timestamp("us")),
-        }
-    )
+            "changed_mask": pa.array(full_mask_arr[sel]).cast(pa.int32()),
+            "changed_cols": pa.nulls(m, pa.list_(pa.string())),
+            "ddl": pa.array(all_ddl[sel], pa.string()),
+            "ts": pa.array(all_ts[sel], pa.int64()).cast(pa.timestamp("us")),
+        }))
 
-    # redo-stream order within shard: (scn, scn_idx)
-    tbl = tbl.sort_by([("shard", "ascending"), ("scn", "ascending"), ("scn_idx", "ascending")])
-
-    # per-shard segment sequence (log file number analog)
-    scn_arr = tbl["scn"].to_numpy()
-    span = max(1, (int(scn_arr.max()) - SCN0 + 1) // cfg.segments_per_shard + 1)
-    seq = ((scn_arr - SCN0).clip(min=0) // span).astype(np.int32)
-    tbl = tbl.set_column(tbl.schema.get_field_index("seq"), "seq", pa.array(seq))
-
+    tbl = pa.concat_tables(tables)
     return GenResult(table=tbl, ddl_scn=ddl_scn, n_committed_txns=n_txn, config=cfg)
 
 

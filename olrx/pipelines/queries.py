@@ -211,12 +211,67 @@ GROUP BY op
 """
 
 
+
+# ---------------------------------------------------------------------------
+# cdc_replay_filtered — §2.6 filters: skip-xid, conv regex, start position
+# ---------------------------------------------------------------------------
+
+def _filter_params(sf_dir: str) -> dict:
+    """Deterministic filter set shared by the Ray query and the SQL oracle."""
+    paths = changelog_paths_for(sf_dir)
+    control = load_control(paths)
+    n = control.commit_map.num_rows
+    start = int(sorted(control.commit_map["commit_scn"].to_pylist())[n // 10])
+    return {
+        "skip_xids": ("x10", "x11", "x12"),
+        "conv_regex": "^conv[0-9]*[02468]$",   # even-numbered conversations
+        "start_commit_scn": start,
+    }
+
+
+def q_cdc_replay_filtered(sf_dir: str) -> rd.Dataset:
+    paths = changelog_paths_for(sf_dir)
+    p = _filter_params(sf_dir)
+    cfg = ReplayConfig(num_partitions=32, skip_xids=p["skip_xids"],
+                       conv_regex=p["conv_regex"],
+                       start_commit_scn=p["start_commit_scn"])
+    return replay_dataset(paths, cfg).dataset
+
+
+def sql_cdc_replay_filtered(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    p = _filter_params(sf_dir)
+    skip = ", ".join(f"'{x}'" for x in p["skip_xids"])
+    return f"""
+WITH commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}') WHERE op = 'C'
+), ev AS (
+  SELECT e.conv_id, e.turn_idx, e.op, e.scn, e.scn_idx, c.commit_scn,
+         e.after.role AS role, e.after.text AS text, e.after.tool AS tool,
+         e.after.ts AS ts, e.after.tool_meta AS tool_meta
+  FROM read_parquet('{g}') e
+  JOIN commits c USING (xid)
+  WHERE e.op IN ('I','U','D')
+    AND e.xid NOT IN ({skip})
+    AND regexp_matches(e.conv_id, '{p["conv_regex"]}')
+    AND c.commit_scn > {p["start_commit_scn"]}
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY commit_scn DESC, scn DESC, scn_idx DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts, tool_meta
+FROM last WHERE rn = 1 AND op <> 'D'
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_committed_events": q_cdc_committed_events,
     "cdc_txn_stats": q_cdc_txn_stats,
     "cdc_shard_watermarks": q_cdc_shard_watermarks,
     "cdc_rollback_audit": q_cdc_rollback_audit,
+    "cdc_replay_filtered": q_cdc_replay_filtered,
 }
 
 CDC_ORACLES = {
@@ -225,4 +280,5 @@ CDC_ORACLES = {
     "cdc_txn_stats": sql_cdc_txn_stats,
     "cdc_shard_watermarks": sql_cdc_shard_watermarks,
     "cdc_rollback_audit": sql_cdc_rollback_audit,
+    "cdc_replay_filtered": sql_cdc_replay_filtered,
 }

@@ -64,6 +64,11 @@ class ReplayConfig:
     #: declared shard set; shards absent from the input pin the safe
     #: watermark at -1 (reference: per-thread states, Metadata.h:110-118)
     expected_shards: tuple[int, ...] | None = None
+    #: user-facing filters (reference §2.6)
+    skip_xids: tuple[str, ...] = ()      # drop named transactions
+    conv_regex: str | None = None        # track only matching conv_ids
+    condition: str | None = None         # row condition mini-language
+    start_commit_scn: int = -1           # start position: txns with commit > this
     extra: dict = field(default_factory=dict)
 
     def safe_watermark(self, control: ControlInfo) -> int:
@@ -102,11 +107,13 @@ def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
     if cfg.salt_hot:
         hot = detect_hot_keys(paths, frac_threshold=cfg.hot_frac_threshold)
         hot_ref = ray.put(hot)
+    floor = max(min_commit_scn_excl, cfg.start_commit_scn)
     ds = rd.read_parquet(paths, columns=EVENT_COLUMNS,
                          override_num_blocks=cfg.resolved_read_blocks())
     return ds.map_batches(
         make_resolver(commit_ref, cfg.num_partitions, hot_ref,
-                      cfg.salt_block, min_commit_scn_excl),
+                      cfg.salt_block, floor,
+                      cfg.skip_xids, cfg.conv_regex, cfg.condition),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )

@@ -124,18 +124,38 @@ class CommitResolver:
 
     def __init__(self, commit_ref, num_partitions: int,
                  hot_ref=None, salt_block: int = 64,
-                 min_commit_scn_excl: int = -1):
+                 min_commit_scn_excl: int = -1,
+                 skip_xids: tuple[str, ...] = (),
+                 conv_regex: str | None = None,
+                 condition: str | None = None):
         self._commit_hashes, self._commit_scns = (
             ray.get(commit_ref) if commit_ref is not None else (None, None))
         self.num_partitions = num_partitions
         self.hot: frozenset = ray.get(hot_ref) if hot_ref is not None else frozenset()
         self.salt_block = salt_block
         self.min_commit_scn_excl = min_commit_scn_excl  # resume watermark
+        # user-facing filters (reference §2.6): skip-xid list
+        # (/root/reference/src/OpenLogReplicator.cpp:1047-1063), table/owner
+        # regex (:1009-1045), row `condition` expression
+        # (/root/reference/src/common/expression/Expression.cpp)
+        self.skip_xids = pa.array(list(skip_xids)) if skip_xids else None
+        self.conv_regex = conv_regex
+        if condition:
+            from olrx.functions.condition import Condition
+            self.condition = Condition(condition)
+        else:
+            self.condition = None
         self.payload_cols = [n for n, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
         self.payload_types = [t for _, t in S.payload_columns(S.MAX_SCHEMA_VERSION)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         dml = batch.filter(pc.is_in(batch["op"], value_set=pa.array(["I", "U", "D"])))
+        if dml.num_rows and self.skip_xids is not None:
+            dml = dml.filter(pc.invert(pc.is_in(dml["xid"], value_set=self.skip_xids)))
+        if dml.num_rows and self.conv_regex:
+            dml = dml.filter(pc.match_substring_regex(dml["conv_id"], self.conv_regex))
+        if dml.num_rows and self.condition is not None:
+            dml = self.condition.filter(dml)
         if dml.num_rows == 0:
             return self._empty()
         # commit lookup: hashed xid → binary-search into the broadcast sorted
@@ -196,7 +216,9 @@ class CommitResolver:
 
 
 def make_resolver(commit_ref, num_partitions: int, hot_ref=None,
-                  salt_block: int = 64, min_commit_scn_excl: int = -1):
+                  salt_block: int = 64, min_commit_scn_excl: int = -1,
+                  skip_xids: tuple[str, ...] = (), conv_regex: str | None = None,
+                  condition: str | None = None):
     """Stateless decode fn for `map_batches`. The resolver object is built
     lazily once per worker process and cached — `ray.get` on the broadcast
     refs is a zero-copy shared-memory read, so there is no per-batch cost
@@ -206,7 +228,8 @@ def make_resolver(commit_ref, num_partitions: int, hot_ref=None,
     def fn(batch: pa.Table) -> pa.Table:
         if not holder:
             holder.append(CommitResolver(commit_ref, num_partitions, hot_ref,
-                                         salt_block, min_commit_scn_excl))
+                                         salt_block, min_commit_scn_excl,
+                                         skip_xids, conv_regex, condition))
         return holder[0](batch)
 
     return fn
