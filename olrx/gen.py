@@ -366,14 +366,27 @@ def generate(cfg: GenConfig) -> GenResult:
     span = max(1, (int(scn_sorted.max()) - SCN0 + 1) // cfg.segments_per_shard + 1)
     seq_sorted = ((scn_sorted - SCN0).clip(min=0) // span).astype(np.int32)
 
-    # DML-only value sources (length n); control rows read as null
+    # DML-only value sources (length n); control rows read as null.
+    # ChunkedArray.take concatenates chunks internally (32-bit offset
+    # overflow on >2 GiB strings) — normalize big string sources to one
+    # combined large_string Array (64-bit offsets) up front.
+    def _normalize(src):
+        if isinstance(src, pa.ChunkedArray):
+            if pa.types.is_string(src.type):
+                src = src.cast(pa.large_string())
+            return _as_array(src)
+        return src
+
+    text_n = _normalize(text)
+    role_n, tool_n, meta_n = _normalize(role), _normalize(tool), _normalize(tool_meta)
+
     def dml_value(src, sel, t):
         """Gather rows `sel` (global indices) from a DML-length source."""
         in_dml = sel < n
         safe = np.where(in_dml, sel, 0)
         if isinstance(src, np.ndarray):
             vals = pa.array(src[safe]).cast(t)
-        else:  # pa.Array | pa.ChunkedArray
+        else:  # pa.Array (normalized)
             vals = _as_array(src.take(pa.array(safe)).cast(t))
         if in_dml.all():
             return vals
@@ -385,11 +398,11 @@ def generate(cfg: GenConfig) -> GenResult:
         sel = order[lo:lo + CHUNK]
         m = len(sel)
         kids = {
-            "role": dml_value(role, sel, pa.string()),
-            "text": dml_value(text, sel, pa.string()),
-            "tool": dml_value(tool, sel, pa.string()),
+            "role": dml_value(role_n, sel, pa.string()),
+            "text": dml_value(text_n, sel, pa.string()),
+            "tool": dml_value(tool_n, sel, pa.string()),
             "ts": dml_value(ev_ts, sel, pa.timestamp("us")),
-            "tool_meta": dml_value(tool_meta, sel, pa.string()),
+            "tool_meta": dml_value(meta_n, sel, pa.string()),
         }
         if cfg.partial_images:
             fm = full_mask_arr[sel]
@@ -442,17 +455,23 @@ def write_segments(res: GenResult, out_dir: str) -> list[str]:
     tbl = res.table
     shard = tbl["shard"].to_numpy()
     seq = tbl["seq"].to_numpy()
+    # the table is sorted by (shard, scn, scn_idx) and seq is monotone in scn
+    # within a shard, so every (shard, seq) segment is a contiguous row range —
+    # zero-copy slices (a take on a >2 GiB chunked table overflows offsets)
+    combo = shard.astype(np.int64) * (int(seq.max()) + 2) + seq
+    boundaries = np.flatnonzero(np.diff(combo)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(combo)]])
     paths = []
-    for sh in np.unique(shard):
-        for sq in np.unique(seq[shard == sh]):
-            sel = np.flatnonzero((shard == sh) & (seq == sq))
-            part = tbl.take(pa.array(sel))
-            p = os.path.join(out_dir, f"shard{sh:02d}-seg{sq:04d}.parquet")
-            tmp = p + ".tmp"
-            # modest row groups → finer read splits / row-group pruning
-            pq.write_table(part, tmp, row_group_size=131_072)
-            os.replace(tmp, p)
-            paths.append(p)
+    for lo, hi in zip(starts, ends):
+        part = tbl.slice(lo, hi - lo)
+        p = os.path.join(out_dir,
+                         f"shard{shard[lo]:02d}-seg{seq[lo]:04d}.parquet")
+        tmp = p + ".tmp"
+        # modest row groups → finer read splits / row-group pruning
+        pq.write_table(part, tmp, row_group_size=131_072)
+        os.replace(tmp, p)
+        paths.append(p)
     return sorted(paths)
 
 

@@ -108,7 +108,13 @@ def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
         hot = detect_hot_keys(paths, frac_threshold=cfg.hot_frac_threshold)
         hot_ref = ray.put(hot)
     floor = max(min_commit_scn_excl, cfg.start_commit_scn)
-    ds = rd.read_parquet(paths, columns=EVENT_COLUMNS,
+    # scan pruning: a txn with commit > floor began at scn > floor - span,
+    # so row groups entirely ≤ that bound can never contribute (parquet
+    # statistics pushdown; belt-and-suspenders with the decode-level filter)
+    flt = None
+    if floor >= 0:
+        flt = pc.field("scn") > floor - max(0, control.max_txn_span)
+    ds = rd.read_parquet(paths, columns=EVENT_COLUMNS, filter=flt,
                          override_num_blocks=cfg.resolved_read_blocks())
     return ds.map_batches(
         make_resolver(commit_ref, cfg.num_partitions, hot_ref,
@@ -131,7 +137,8 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
 
 
 def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
-                      safe_watermark: int, max_commit_scn: int) -> pa.Table:
+                      safe_watermark: int, max_commit_scn: int,
+                      max_txn_span: int = 0) -> pa.Table:
     """Lake-mode per-partition apply: merge with base state, write parquet
     atomically, then publish the manifest. Idempotent under task retries:
     a retry re-reads the (old) manifest, recomputes the same bytes and
@@ -173,6 +180,7 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
         files=[os.path.join(f"part-{part:05d}", fname)],
         rows=final.num_rows,
         counters=counters,
+        max_txn_span=max_txn_span,
     )
     MF.write_manifest(mdir, m)
     # GC superseded snapshots (best-effort; manifest no longer references them)
@@ -240,16 +248,29 @@ def replay_to_lake(paths: list[str], out_dir: str,
     if not resume and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    control = load_control(paths)
-    sv = control.schema_version
+    # global floor: safe to drop in decode only what EVERY partition confirmed
+    mdir = os.path.join(out_dir, "_manifest")
+    floor = MF.global_watermark(mdir, cfg.num_partitions) if resume else -1
+    prev_span = max((m.max_txn_span for m in MF.read_all(mdir).values()),
+                    default=0) if resume else 0
+    ctl_floor = (floor - prev_span) if floor >= 0 else -1
+    control = load_control(paths, scn_floor=ctl_floor)
+    control.max_txn_span = max(control.max_txn_span, prev_span)
+    # schema version carries forward from manifests: the pruned control pass
+    # no longer sees historical DDL rows (≤ floor); only DDLs beyond the
+    # confirmed floor are new (reference: schema serialized into checkpoints,
+    # /root/reference/src/metadata/SerializerJson.cpp:805-820)
+    prev_sv = max((m.schema_version for m in MF.read_all(mdir).values()),
+                  default=0) if resume else 0
+    new_ddls = len([d for d in control.ddl_scns if d > floor])
+    from olrx import schema as _S
+    sv = min(_S.MAX_SCHEMA_VERSION, prev_sv + new_ddls) if floor >= 0         else control.schema_version
     safe_wm = cfg.safe_watermark(control)
     max_commit = control.max_commit_scn
-    # global floor: safe to drop in decode only what EVERY partition confirmed
-    floor = MF.global_watermark(os.path.join(out_dir, "_manifest"),
-                                cfg.num_partitions) if resume else -1
     events = _decoded_events(paths, cfg, control, min_commit_scn_excl=floor)
+    span = control.max_txn_span
     stats_ds = events.groupby("part").map_groups(
-        lambda g: _apply_and_commit(g, out_dir, sv, safe_wm, max_commit),
+        lambda g: _apply_and_commit(g, out_dir, sv, safe_wm, max_commit, span),
         batch_format="pyarrow")
     stats_df = stats_ds.to_pandas()
     if stats_df.empty:  # nothing new anywhere (all dropped at the floor)

@@ -54,6 +54,7 @@ class ControlInfo:
     ddl_scns: list[int]           # commit SCNs of committed DDL events
     max_commit_scn: int           # high-water mark of this input (watermark)
     shard_watermarks: dict[int, int]  # shard → max control scn seen (RAC analog)
+    max_txn_span: int = 0         # max (commit_scn - begin_scn) observed
 
     @property
     def schema_version(self) -> int:
@@ -72,14 +73,20 @@ class ControlInfo:
 
 
 def _control_batch(t: pa.Table) -> pa.Table:
-    return t.filter(pc.is_in(t["op"], value_set=pa.array(["C", "DDL", "R"])))
+    return t.filter(pc.is_in(t["op"], value_set=pa.array(["B", "C", "DDL", "R"])))
 
 
-def load_control(paths: list[str], read_blocks: int | None = None) -> ControlInfo:
-    """Pruned-column pass over the changelog collecting control rows."""
+def load_control(paths: list[str], read_blocks: int | None = None,
+                 scn_floor: int = -1) -> ControlInfo:
+    """Pruned-column pass over the changelog collecting control rows.
+
+    ``scn_floor``: parquet row groups whose max scn ≤ floor are skipped at
+    the read (statistics pushdown) — the incremental-tail fast path; only
+    control rows of still-relevant transactions are collected."""
     if read_blocks is None:
         read_blocks = 2 * int(ray.cluster_resources().get("CPU", 8))
-    ds = rd.read_parquet(paths, columns=CONTROL_COLUMNS,
+    flt = (pc.field("scn") > scn_floor) if scn_floor >= 0 else None
+    ds = rd.read_parquet(paths, columns=CONTROL_COLUMNS, filter=flt,
                          override_num_blocks=read_blocks)
     ctl = pa.Table.from_pandas(
         ds.map_batches(_control_batch, batch_format="pyarrow").to_pandas(),
@@ -90,6 +97,19 @@ def load_control(paths: list[str], read_blocks: int | None = None) -> ControlInf
         "xid": commits["xid"].combine_chunks(),
         "commit_scn": commits["scn"].cast(pa.int64()).combine_chunks(),
     })
+    # max transaction span (commit - begin) — the safe scan-pruning bound for
+    # event reads: any event of a txn with commit > W has scn > W - span
+    # (reference analog: min-open-txn restart position,
+    # /root/reference/src/parser/TransactionBuffer.cpp:274-286)
+    max_txn_span = 0
+    begins = ctl.filter(pc.equal(ctl["op"], "B"))
+    if begins.num_rows and commits.num_rows:
+        b = begins.select(["xid", "scn"]).rename_columns(["xid", "begin_scn"])
+        paired = b.join(commit_map, keys="xid", join_type="inner")
+        if paired.num_rows:
+            span = pc.max(pc.subtract(paired["commit_scn"],
+                                      paired["begin_scn"].cast(pa.int64()))).as_py()
+            max_txn_span = int(span or 0)
     # committed DDLs: DDL row whose xid is in the commit map
     ddls = ctl.filter(pc.equal(ctl["op"], "DDL"))
     ddl_scns: list[int] = []
@@ -104,7 +124,8 @@ def load_control(paths: list[str], read_blocks: int | None = None) -> ControlInf
         shard_wm = dict(zip(per_shard["shard"].to_pylist(),
                             per_shard["scn_max"].to_pylist()))
     return ControlInfo(commit_map=commit_map, ddl_scns=ddl_scns,
-                       max_commit_scn=max_commit, shard_watermarks=shard_wm)
+                       max_commit_scn=max_commit, shard_watermarks=shard_wm,
+                       max_txn_span=max_txn_span)
 
 
 class CommitResolver:

@@ -37,6 +37,9 @@ class PartitionManifest:
     files: list[str]
     rows: int
     counters: dict[str, int] = field(default_factory=dict)
+    #: max observed (commit_scn - begin_scn): the scan-pruning bound for
+    #: incremental re-reads (events of unconfirmed txns have scn > W - span)
+    max_txn_span: int = 0
     updated_unix: float = 0.0
 
     def path(self, manifest_dir: str) -> str:
