@@ -104,7 +104,8 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    lo, hi = 8, 32
+    levels = os.environ.get("OLRX_SCALING_LEVELS", "4,16").split(",")
+    lo, hi = int(levels[0]), int(levels[1])
 
     def once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -116,14 +117,14 @@ def run_scaling() -> dict:
     r_lo, r_hi = once(lo), once(hi)
     tput_lo = r_lo["events_per_sec"]
     tput_hi = r_hi["events_per_sec"]
-    eff = (tput_hi / tput_lo) / (hi / lo)
+    eff = (tput_hi / tput_lo) / (hi / lo)  # 1.0 = linear scaling
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "sf": r_lo["sf"],
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
-        "cpus_lo": lo, "cpus_hi": hi,
+        "cpus_lo": lo, "cpus_hi": hi, "cpu_ratio": hi / lo,
         "events_per_sec_lo": tput_lo, "events_per_sec_hi": tput_hi,
     }
 

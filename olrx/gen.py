@@ -472,7 +472,36 @@ def write_segments(res: GenResult, out_dir: str) -> list[str]:
         pq.write_table(part, tmp, row_group_size=131_072)
         os.replace(tmp, p)
         paths.append(p)
+    write_control_sidecars(paths)
     return sorted(paths)
+
+
+def write_control_sidecars(segment_paths: list[str]) -> list[str]:
+    """Per-segment control index: only B/C/R/DDL rows + a precomputed xid
+    hash — the log format's transaction-marker sidecar (analog: the
+    reference persists txn positions in checkpoint files instead of
+    re-scanning redo, /root/reference/src/metadata/SerializerJson.cpp:62-87).
+    Idempotent: skips sidecars that already exist."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    out = []
+    for p in segment_paths:
+        d = os.path.join(os.path.dirname(p), "_ctl")
+        os.makedirs(d, exist_ok=True)
+        cp = os.path.join(d, os.path.basename(p))
+        out.append(cp)
+        if os.path.exists(cp):
+            continue
+        t = pq.read_table(p, columns=["xid", "op", "scn", "scn_idx", "ddl", "shard"])
+        ctl = t.filter(pc.is_in(t["op"], value_set=pa.array(["B", "C", "R", "DDL"])))
+        h = pd.util.hash_array(np.asarray(
+            ctl["xid"].to_numpy(zero_copy_only=False), dtype=object))
+        ctl = ctl.append_column("xid_h", pa.array(h, pa.uint64()))
+        tmp = cp + ".tmp"
+        pq.write_table(ctl, tmp)
+        os.replace(tmp, cp)
+    return out
 
 
 def ensure_changelog(cfg: GenConfig, root: str = "/tmp/olrx_data") -> str:
@@ -481,6 +510,8 @@ def ensure_changelog(cfg: GenConfig, root: str = "/tmp/olrx_data") -> str:
     d = os.path.join(root, f"gen-{cfg.digest()}")
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):
+        import glob as _g
+        write_control_sidecars(sorted(_g.glob(os.path.join(d, "*.parquet"))))
         return d
     res = generate(cfg)
     os.makedirs(d, exist_ok=True)

@@ -64,6 +64,11 @@ class ReplayConfig:
     #: declared shard set; shards absent from the input pin the safe
     #: watermark at -1 (reference: per-thread states, Metadata.h:110-118)
     expected_shards: tuple[int, ...] | None = None
+    #: exchange strategy: "groupby" = Dataset-native sort shuffle;
+    #: "actor" = direct applier-actor routing (SURVEY §4.2; ~1 pass through
+    #: the object store instead of ~4 — better on bandwidth-bound nodes)
+    exchange: str = "actor"
+    num_appliers: int | None = None   # None → ~num CPUs
     #: user-facing filters (reference §2.6)
     skip_xids: tuple[str, ...] = ()      # drop named transactions
     conv_regex: str | None = None        # track only matching conv_ids
@@ -90,6 +95,14 @@ class ReplayConfig:
         if self.read_blocks:
             return self.read_blocks
         return 3 * int(ray.cluster_resources().get("CPU", 8))
+
+    def resolved_num_appliers(self) -> int:
+        if self.num_appliers:
+            return self.num_appliers
+        # more appliers than CPUs: finalize work is 1-thread-per-actor, so
+        # extra actors load-balance the merge phase across whatever CPUs are
+        # free (actors are cheap; their heap share shrinks with A)
+        return max(2, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
 
 @dataclass
@@ -126,11 +139,15 @@ def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
 
 
 def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayResult:
-    """Replay to an in-flight Dataset of final transcript rows (no sink)."""
+    """Replay to final transcript rows (no sink)."""
     cfg = cfg or ReplayConfig()
     control = load_control(paths)
     sv = control.schema_version
     events = _decoded_events(paths, cfg, control)
+    if cfg.exchange == "actor":
+        from olrx.stages.exchange import run_actor_exchange
+        rows = run_actor_exchange(events, cfg.resolved_num_appliers(), sv)
+        return ReplayResult(control=control, dataset=rd.from_arrow(rows))
     final = events.groupby("part").map_groups(
         lambda g: merge_apply(g, sv), batch_format="pyarrow")
     return ReplayResult(control=control, dataset=final)
@@ -269,6 +286,13 @@ def replay_to_lake(paths: list[str], out_dir: str,
     max_commit = control.max_commit_scn
     events = _decoded_events(paths, cfg, control, min_commit_scn_excl=floor)
     span = control.max_txn_span
+    if cfg.exchange == "actor":
+        from olrx.stages.exchange import run_actor_exchange
+        stats = run_actor_exchange(
+            events, cfg.resolved_num_appliers(), sv,
+            commit=dict(out_dir=out_dir, safe_watermark=safe_wm,
+                        max_commit_scn=max_commit, max_txn_span=span))
+        return ReplayResult(control=control, stats=stats, out_dir=out_dir)
     stats_ds = events.groupby("part").map_groups(
         lambda g: _apply_and_commit(g, out_dir, sv, safe_wm, max_commit, span),
         batch_format="pyarrow")

@@ -11,9 +11,12 @@ Reproduces the semantics of the reference's row-image merge
 - a column value never survives across a delete (null-fill semantics,
   Builder.cpp:1614-1624)
 
-All segment-wise (per row-key) reductions are ``np.maximum.reduceat`` over
-index arrays — no Python loop over rows or keys. Cost is O(n log n) for the
-lexsort plus O(n · n_cols) for the column reductions.
+Implementation note: the big payload columns (text!) are NEVER moved into
+sort order. Only the int key columns are sorted (numpy lexsort + fancy
+index); segment reductions run on those, producing *global* winner row
+indices; the one and only payload copy is the final winner gather straight
+from the unsorted input. This matters: on memory-bound nodes the naive
+"sort the whole table then reduce" shape doubles DRAM traffic.
 """
 
 from __future__ import annotations
@@ -27,65 +30,79 @@ from olrx.stages.decode import OP_D, OP_I, OP_U
 
 
 def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
-    """Reduce a partition's decoded events to final transcript rows.
+    """Reduce decoded events to final transcript rows.
 
-    ``group`` has decode-stage layout: key columns, ``op``, order columns,
-    ``changed_mask`` and ``v_<payload>`` value columns (full-width). Output
-    is ``transcripts_schema(schema_version)``.
+    ``group`` has decode-stage layout: key columns, ``op_code``, order
+    columns, ``changed_mask`` and ``v_<payload>`` value columns
+    (full-width). Keys may span multiple hash partitions — ``(conv_id,
+    turn_idx)`` is globally unique, so the reduction is partition-agnostic.
+    Output is ``transcripts_schema(schema_version)``.
     """
     payload = [n for n, _ in S.payload_columns(schema_version)]
     n = group.num_rows
     if n == 0:
         return S.transcripts_schema(schema_version).empty_table()
 
-    group = group.combine_chunks()
+    def as_np(col) -> np.ndarray:
+        # ChunkedArray.to_numpy on many chunks is a slow per-chunk path
+        # (measured ~8 s on 4 int columns × 96 chunks × 4M rows); one
+        # combine memcpy then a zero-copy view is ~100× faster
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.to_numpy(zero_copy_only=False)
+
     conv_dict = pc.dictionary_encode(group["conv_id"])
-    codes = conv_dict.combine_chunks().indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    turn = group["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cscn = group["commit_scn"].to_numpy(zero_copy_only=False).astype(np.int64)
-    scn = group["scn"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sidx = group["scn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if isinstance(conv_dict, pa.ChunkedArray):
+        conv_dict = conv_dict.combine_chunks()
+    codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = as_np(group["turn_idx"]).astype(np.int64)
+    cscn = as_np(group["commit_scn"]).astype(np.int64)
+    scn = as_np(group["scn"]).astype(np.int64)
+    sidx = as_np(group["scn_idx"]).astype(np.int64)
+    op = as_np(group["op_code"])
+    mask = as_np(group["changed_mask"]).astype(np.int64)
 
     order = np.lexsort((sidx, scn, cscn, turn, codes))
-    codes, turn = codes[order], turn[order]
-    sorted_tbl = group.take(pa.array(order))
+    codes_s, turn_s = codes[order], turn[order]
+    op_s, mask_s = op[order], mask[order]
 
     new_seg = np.empty(n, bool)
     new_seg[0] = True
-    new_seg[1:] = (codes[1:] != codes[:-1]) | (turn[1:] != turn[:-1])
+    new_seg[1:] = (codes_s[1:] != codes_s[:-1]) | (turn_s[1:] != turn_s[:-1])
     seg_starts = np.flatnonzero(new_seg)
-    seg_of = np.cumsum(new_seg) - 1
 
-    op = sorted_tbl["op_code"].to_numpy(zero_copy_only=False)
-    mask = sorted_tbl["changed_mask"].to_numpy(zero_copy_only=False).astype(np.int64)
     idx = np.arange(n, dtype=np.int64)
 
     def seg_max(values: np.ndarray) -> np.ndarray:
         return np.maximum.reduceat(values, seg_starts)
 
-    is_d = op == OP_D
+    is_d = op_s == OP_D
     last_d = seg_max(np.where(is_d, idx, -1))
     last_alive = seg_max(np.where(~is_d, idx, -1))
     exists = last_alive > last_d                      # row survives its last delete
 
-    out_cols: dict[str, pa.Array] = {}
     keep = np.flatnonzero(exists)
-    key_idx = seg_starts[keep]                        # one representative row per kept key
-    key_take = pa.array(key_idx)
-    out_cols["conv_id"] = sorted_tbl["conv_id"].take(key_take)
-    out_cols["turn_idx"] = sorted_tbl["turn_idx"].take(key_take).cast(pa.int32())
+    key_global = order[seg_starts[keep]]              # one row per kept key
+    key_take = pa.array(key_global)
+    out_cols: dict[str, object] = {
+        "conv_id": group["conv_id"].take(key_take),
+        "turn_idx": group["turn_idx"].take(key_take).cast(pa.int32()),
+    }
 
     for bit, name in enumerate([nm for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]):
         if name not in payload:
             continue
-        col_set = (mask >> bit) & 1
+        col_set = (mask_s >> bit) & 1
         val_idx = seg_max(np.where((col_set == 1) & ~is_d, idx, -1))
         valid = (val_idx > last_d) & exists           # never read across a delete
-        gather = np.where(valid, val_idx, 0)[keep]
-        vals = sorted_tbl[f"v_{name}"].take(pa.array(gather))
+        # map sorted-domain winner positions back to global row indices and
+        # gather straight from the unsorted table — the only payload copy
+        gather_global = order[np.where(valid, val_idx, 0)][keep]
+        vals = group[f"v_{name}"].take(pa.array(gather_global))
         invalid = ~valid[keep]
         if invalid.any():
-            vals = pc.if_else(pa.array(invalid), pa.nulls(len(gather), vals.type), vals)
+            vals = pc.if_else(pa.array(invalid),
+                              pa.nulls(len(gather_global), vals.type), vals)
         out_cols[name] = vals
 
     out = pa.table(out_cols)

@@ -60,38 +60,106 @@ class ControlInfo:
     def schema_version(self) -> int:
         return min(len(self.ddl_scns), S.MAX_SCHEMA_VERSION)
 
+    #: precomputed by load_control (hashing millions of xids is seconds of
+    #: serial driver time — do it once, not per consumer)
+    lookup_arrays: "tuple[np.ndarray, np.ndarray] | None" = None
+
     def commit_lookup_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         """(sorted xid-hashes, aligned commit_scns) for the broadcast
         searchsorted lookup. 64-bit hashing: collision odds at 10^8 txns are
         ~(10^8)²/2^64 ≈ 5e-4 per full run — acceptable for dedup-style keys;
         flip to a (hash, xid-verify) two-step if ever not."""
-        xids = np.asarray(self.commit_map["xid"].to_numpy(zero_copy_only=False),
-                          dtype=object)
-        h = pd.util.hash_array(xids)
-        order = np.argsort(h)
-        return h[order], self.commit_map["commit_scn"].to_numpy()[order]
+        if self.lookup_arrays is None:
+            xids = np.asarray(self.commit_map["xid"].to_numpy(zero_copy_only=False),
+                              dtype=object)
+            h = pd.util.hash_array(xids)
+            order = np.argsort(h)
+            self.lookup_arrays = (h[order],
+                                  self.commit_map["commit_scn"].to_numpy()[order])
+        return self.lookup_arrays
 
 
 def _control_batch(t: pa.Table) -> pa.Table:
-    return t.filter(pc.is_in(t["op"], value_set=pa.array(["B", "C", "DDL", "R"])))
+    out = t.filter(pc.is_in(t["op"], value_set=pa.array(["B", "C", "DDL", "R"])))
+    # hash xids here, in parallel, where the strings already are — hashing
+    # millions of them serially on the driver measured ~10 s per pass
+    h = pd.util.hash_array(np.asarray(
+        out["xid"].to_numpy(zero_copy_only=False), dtype=object))
+    return out.append_column("xid_h", pa.array(h, pa.uint64()))
+
+
+def changelog_empty_control() -> pa.Table:
+    return pa.table({
+        "xid": pa.array([], pa.string()), "op": pa.array([], pa.string()),
+        "scn": pa.array([], pa.int64()), "scn_idx": pa.array([], pa.int32()),
+        "ddl": pa.array([], pa.string()), "shard": pa.array([], pa.int16()),
+    })
+
+
+def _sidecar_paths(paths: list[str]) -> list[str] | None:
+    import os
+    side = [os.path.join(os.path.dirname(p), "_ctl", os.path.basename(p))
+            for p in paths]
+    return side if all(os.path.exists(sp) for sp in side) else None
 
 
 def load_control(paths: list[str], read_blocks: int | None = None,
                  scn_floor: int = -1) -> ControlInfo:
-    """Pruned-column pass over the changelog collecting control rows.
+    """Collect control rows (commit map, DDLs, shard watermarks, txn span).
 
-    ``scn_floor``: parquet row groups whose max scn ≤ floor are skipped at
-    the read (statistics pushdown) — the incremental-tail fast path; only
-    control rows of still-relevant transactions are collected."""
+    Fast path: per-segment control sidecars (`_ctl/<segment>`) hold only the
+    B/C/R/DDL rows with precomputed xid hashes — O(#txns) bytes instead of a
+    full-stream scan. Fallback: pruned-column Ray pass over the segments.
+
+    ``scn_floor``: parquet row groups entirely ≤ floor are skipped at the
+    read (statistics pushdown) — the incremental-tail fast path."""
+    side = _sidecar_paths(paths)
+    if side is not None:
+        import json as _json
+        import os as _os
+
+        import pyarrow.dataset as pads
+        dset = pads.dataset(side, format="parquet")
+        flt = (pc.field("scn") > scn_floor) if scn_floor >= 0 else None
+        ctl = dset.to_table(filter=flt)   # multithreaded scan of the index
+        ctl = (ctl.combine_chunks() if ctl.num_rows
+               else changelog_empty_control())
+        # dir-level span cache: the B/C pairing over millions of txns is the
+        # one remaining serial cost — compute once per log directory
+        span_path = _os.path.join(_os.path.dirname(side[0]), "_span.json")
+        known = None
+        try:
+            with open(span_path) as f:
+                known = int(_json.load(f)["max_txn_span"])
+        except (OSError, ValueError, KeyError):
+            known = None
+        info = _control_info_from(ctl, _known_span=known)
+        if known is None:
+            tmp = span_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"max_txn_span": info.max_txn_span}, f)
+            _os.replace(tmp, span_path)
+        return info
     if read_blocks is None:
         read_blocks = 2 * int(ray.cluster_resources().get("CPU", 8))
     flt = (pc.field("scn") > scn_floor) if scn_floor >= 0 else None
     ds = rd.read_parquet(paths, columns=CONTROL_COLUMNS, filter=flt,
                          override_num_blocks=read_blocks)
-    ctl = pa.Table.from_pandas(
-        ds.map_batches(_control_batch, batch_format="pyarrow").to_pandas(),
-        preserve_index=False,
-    )
+    # collect control rows as Arrow refs — no pandas round-trip; the result
+    # is O(#txns), the only driver-side materialization in the engine
+    refs = ds.map_batches(_control_batch, batch_format="pyarrow").to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    ctl = pa.concat_tables(tables, promote_options="default").combine_chunks()         if tables else changelog_empty_control()
+    return _control_info_from(ctl)
+
+
+def _control_info_from(ctl: pa.Table, _known_span: int | None = None
+                       ) -> ControlInfo:
+    if "xid_h" not in ctl.schema.names:
+        import pandas as _pd
+        h = _pd.util.hash_array(np.asarray(
+            ctl["xid"].to_numpy(zero_copy_only=False), dtype=object))
+        ctl = ctl.append_column("xid_h", pa.array(h, pa.uint64()))
     commits = ctl.filter(pc.equal(ctl["op"], "C"))
     commit_map = pa.table({
         "xid": commits["xid"].combine_chunks(),
@@ -100,32 +168,43 @@ def load_control(paths: list[str], read_blocks: int | None = None,
     # max transaction span (commit - begin) — the safe scan-pruning bound for
     # event reads: any event of a txn with commit > W has scn > W - span
     # (reference analog: min-open-txn restart position,
-    # /root/reference/src/parser/TransactionBuffer.cpp:274-286)
-    max_txn_span = 0
-    begins = ctl.filter(pc.equal(ctl["op"], "B"))
-    if begins.num_rows and commits.num_rows:
-        b = begins.select(["xid", "scn"]).rename_columns(["xid", "begin_scn"])
-        paired = b.join(commit_map, keys="xid", join_type="inner")
-        if paired.num_rows:
-            span = pc.max(pc.subtract(paired["commit_scn"],
-                                      paired["begin_scn"].cast(pa.int64()))).as_py()
-            max_txn_span = int(span or 0)
-    # committed DDLs: DDL row whose xid is in the commit map
+    # /root/reference/src/parser/TransactionBuffer.cpp:274-286).
+    # Paired via the worker-computed hashes — an Acero join over millions of
+    # xids (or re-hashing them serially here) costs seconds of driver time.
+    c_hashes = commits["xid_h"].to_numpy(zero_copy_only=False)
+    c_order = np.argsort(c_hashes)
+    lookup = (np.ascontiguousarray(c_hashes[c_order]),
+              np.ascontiguousarray(commit_map["commit_scn"].to_numpy()[c_order]))
+    max_txn_span = _known_span if _known_span is not None else 0
+    if _known_span is None:
+        begins = ctl.filter(pc.equal(ctl["op"], "B"))
+        if begins.num_rows and commit_map.num_rows:
+            b_h = begins["xid_h"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(lookup[0], b_h), 0, len(lookup[0]) - 1)
+            found = lookup[0][pos] == b_h
+            if found.any():
+                spans = (lookup[1][pos] -
+                         begins["scn"].to_numpy(zero_copy_only=False).astype(np.int64))
+                max_txn_span = int(spans[found].max())
+    # committed DDLs: DDL row whose xid is in the commit map (hash lookup)
     ddls = ctl.filter(pc.equal(ctl["op"], "DDL"))
     ddl_scns: list[int] = []
     if ddls.num_rows:
-        joined = ddls.select(["xid", "scn"]).join(
-            commit_map, keys="xid", join_type="inner")
-        ddl_scns = sorted(joined["commit_scn"].to_pylist())
+        d_h = ddls["xid_h"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(lookup[0], d_h), 0, len(lookup[0]) - 1)
+        found = lookup[0][pos] == d_h
+        ddl_scns = sorted(int(x) for x in lookup[1][pos][found])
     max_commit = int(pc.max(commit_map["commit_scn"]).as_py()) if commit_map.num_rows else -1
     shard_wm: dict[int, int] = {}
     if ctl.num_rows:
         per_shard = ctl.group_by("shard").aggregate([("scn", "max")])
         shard_wm = dict(zip(per_shard["shard"].to_pylist(),
                             per_shard["scn_max"].to_pylist()))
-    return ControlInfo(commit_map=commit_map, ddl_scns=ddl_scns,
+    info = ControlInfo(commit_map=commit_map, ddl_scns=ddl_scns,
                        max_commit_scn=max_commit, shard_watermarks=shard_wm,
                        max_txn_span=max_txn_span)
+    info.lookup_arrays = lookup
+    return info
 
 
 class CommitResolver:
@@ -234,6 +313,15 @@ class CommitResolver:
         fields += [(f"v_{n}", t) for n, t in S.payload_columns(S.MAX_SCHEMA_VERSION)]
         fields += [("part", pa.int32())]
         return pa.table({n: pa.array([], t) for n, t in fields})
+
+
+def tune_worker_threads() -> None:
+    """Pin Arrow's internal thread pool inside Ray workers. Every worker
+    process defaults to a pool sized to ALL cores; with 32 concurrent tasks
+    that is ~32×64 threads fighting for 32 cores — measured 9× slowdown of
+    the decode kernels vs a single-process run."""
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
 
 
 def make_resolver(commit_ref, num_partitions: int, hot_ref=None,

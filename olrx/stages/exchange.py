@@ -1,0 +1,138 @@
+"""Direct actor exchange — the alternative to the sort-based groupby.
+
+`groupby(part).map_groups` is the Dataset-native exchange but moves every
+byte through the object store ~4× (decode out → sort map → sort reduce →
+apply input). On bandwidth-contended hardware that halves scaling
+efficiency. This module implements SURVEY §4.2's intended design instead:
+
+    decode task ── split batch by applier ──► PartitionApplier actors
+                                              (accumulate zero-copy refs)
+                                              finalize: merge-apply + commit
+
+One plasma write per decoded batch; appliers read shards zero-copy. Each
+`(conv_id, turn_idx)` key lands on exactly one applier (hash partition), the
+partitioning assumption merge-apply needs. Routing tasks `ray.get` their
+acks per batch, so Ray Data's backpressure extends through the actors; the
+driver's `finalize` runs after the routed stream is fully consumed (actor
+mailboxes are FIFO per submitter, and every add was acked before the stream
+finished).
+
+Memory: an applier holds its partitions' decoded events until finalize —
+size = events/num_appliers. For inputs where that exceeds worker heaps,
+raise num_appliers (cluster mode: appliers spread across nodes) or fall
+back to the sort exchange (`ReplayConfig.exchange="groupby"`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from olrx.stages.apply import merge_apply
+
+
+@ray.remote
+class PartitionApplier:
+    """Owns `num_partitions / num_appliers` hash partitions; accumulates
+    decoded event shards, then merges and (optionally) commits each."""
+
+    def __init__(self, applier_id: int, num_appliers: int,
+                 schema_version: int) -> None:
+        self.applier_id = applier_id
+        self.num_appliers = num_appliers
+        self.schema_version = schema_version
+        self.shards: list[pa.Table] = []
+        # all appliers finalize concurrently; each Arrow kernel spawning a
+        # full-size internal thread pool oversubscribes the node and inflates
+        # even plain numpy wall time via preemption
+        pa.set_cpu_count(2)
+        pa.set_io_thread_count(2)
+
+    def add(self, shard: pa.Table) -> int:
+        if shard.num_rows:
+            self.shards.append(shard)
+        return shard.num_rows
+
+    def finalize_rows(self) -> pa.Table:
+        """Merge-apply all owned events; keys are globally unique across
+        partitions, so one reduction over the applier's whole holding is
+        partition-exact."""
+        if not self.shards:
+            from olrx import schema as S
+            return S.transcripts_schema(self.schema_version).empty_table()
+        all_events = pa.concat_tables(self.shards, promote_options="default")
+        self.shards = []
+        return merge_apply(all_events, self.schema_version)
+
+    def finalize_commit(self, out_dir: str, safe_watermark: int,
+                        max_commit_scn: int, max_txn_span: int) -> pa.Table:
+        """Merge-apply + write parquet + manifests for owned partitions."""
+        from olrx.pipelines.replay import _apply_and_commit
+
+        stats: list[pa.Table] = []
+        if self.shards:
+            all_events = pa.concat_tables(self.shards, promote_options="default")
+            self.shards = []
+            # partition groups via a cheap int sort; per-partition event
+            # tables are gathered once (take) and committed independently
+            parts = all_events["part"].to_numpy(zero_copy_only=False)
+            order = np.argsort(parts, kind="stable")
+            parts_sorted = parts[order]
+            bounds = np.flatnonzero(np.diff(parts_sorted)) + 1
+            for sel in np.split(order, bounds):
+                stats.append(_apply_and_commit(
+                    all_events.take(pa.array(sel)), out_dir,
+                    self.schema_version, safe_watermark, max_commit_scn,
+                    max_txn_span))
+        if not stats:
+            from olrx.pipelines.replay import _stats_row
+            return _stats_row(-1, 0, safe_watermark, True, {})[:0]
+        return pa.concat_tables(stats)
+
+
+def make_router(appliers: list, num_appliers: int):
+    """Stateless `map_batches` fn: split each decoded batch by applier id
+    (part % A) and ship the shards; ack before returning (backpressure)."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            part = batch["part"].to_numpy(zero_copy_only=False)
+            owner = part % num_appliers
+            order = np.argsort(owner, kind="stable")
+            sorted_batch = batch.take(pa.array(order))
+            owner_sorted = owner[order]
+            bounds = np.searchsorted(owner_sorted, np.arange(num_appliers + 1))
+            refs = []
+            for a in range(num_appliers):
+                lo, hi = bounds[a], bounds[a + 1]
+                if hi > lo:
+                    # Arrow IPC truncates sliced buffers on serialization, so
+                    # shipping a slice costs only its own bytes
+                    refs.append(appliers[a].add.remote(
+                        sorted_batch.slice(lo, hi - lo)))
+            ray.get(refs)
+        return batch.schema.empty_table()
+
+    return route
+
+
+def run_actor_exchange(events, num_appliers: int, schema_version: int,
+                       commit: dict | None = None) -> pa.Table:
+    """Drive the routed stream and finalize.
+
+    ``commit=None`` → return final transcript rows (dataset-mode analog);
+    else commit kwargs for `finalize_commit` → returns the stats table.
+    """
+    appliers = [PartitionApplier.remote(a, num_appliers, schema_version)
+                for a in range(num_appliers)]
+    routed = events.map_batches(make_router(appliers, num_appliers),
+                                batch_format="pyarrow")
+    routed.count()  # consume the stream; all adds acked by completion
+    if commit is None:
+        outs = ray.get([a.finalize_rows.remote() for a in appliers])
+    else:
+        outs = ray.get([a.finalize_commit.remote(**commit) for a in appliers])
+    for a in appliers:
+        ray.kill(a)
+    return pa.concat_tables([t for t in outs if t.num_rows > 0] or outs[:1])
