@@ -93,6 +93,27 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q_events_condition_filter(sf_dir: str) -> rd.Dataset:
+    """§2.6 condition mini-language applied to a real table: compiled once,
+    evaluated as Arrow masks per batch."""
+    from olrx.functions.condition import Condition
+
+    cond = Condition("event_type IN ('click', 'view') AND value != NULL "
+                     "AND NOT (user_id == 0)")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "value"])
+    return ds.map_batches(cond.filter, batch_format="pyarrow")
+
+
+def sql_events_condition_filter(sf_dir: str) -> str:
+    return """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+  AND NOT (user_id = 0)
+"""
+
+
 def q_events_topk_users(sf_dir: str, k: int = 20) -> pa.Table:
     """Top-k users by total value: pre-agg partials → small groupby → sort →
     limit. The sort runs over one row per user, not per event."""

@@ -30,6 +30,7 @@ OPS_QUERIES = {
     "events_hourly": events.q_events_hourly,
     "events_sessions": events.q_events_sessions,
     "events_topk_users": events.q_events_topk_users,
+    "events_condition_filter": events.q_events_condition_filter,
 }
 
 OPS_ORACLES = {
@@ -41,4 +42,6 @@ OPS_ORACLES = {
     "events_hourly": events.sql_events_hourly,
     "events_sessions": events.sql_events_sessions,
     "events_topk_users": events.sql_events_topk_users,
+    "events_condition_filter": events.sql_events_condition_filter,
+    "text_quality": text.sql_text_quality,
 }

@@ -145,6 +145,26 @@ FROM documents
 """
 
 
+def sql_text_quality(sf_dir: str) -> str:
+    stops = sorted(frozenset().union(*_LANG_STOPWORDS.values()))
+    stop_list = ", ".join(f"'{w}'" for w in stops)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z'']+') AS words
+  FROM documents
+)
+SELECT doc_id, round(
+    0.4 * CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END
+  + 0.3 * CASE WHEN len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                    / greatest(length(text), 1) < 0.3 THEN 1.0 ELSE 0.0 END
+  + 0.3 * CASE WHEN len(list_filter(words, x -> list_contains([{stop_list}], x)))
+                    * 1.0 / greatest(len(words), 1) > 0.05 THEN 1.0 ELSE 0.0 END
+, 9) AS quality
+FROM w
+"""
+
+
 def q_text_quality(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(QualityScore, batch_format="pandas", batch_size=4096,
