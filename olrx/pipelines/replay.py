@@ -68,7 +68,9 @@ class ReplayConfig:
     #: "actor" = direct applier-actor routing (SURVEY §4.2; ~1 pass through
     #: the object store instead of ~4 — better on bandwidth-bound nodes)
     exchange: str = "actor"
-    num_appliers: int | None = None   # None → ~num CPUs
+    num_appliers: int | None = None   # None → 2× CPUs
+    applier_compact_threshold: int = 0  # >0: fold applier state to the
+                                        # per-key winner set at this size
     #: user-facing filters (reference §2.6)
     skip_xids: tuple[str, ...] = ()      # drop named transactions
     conv_regex: str | None = None        # track only matching conv_ids
@@ -146,7 +148,8 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
     events = _decoded_events(paths, cfg, control)
     if cfg.exchange == "actor":
         from olrx.stages.exchange import run_actor_exchange
-        rows = run_actor_exchange(events, cfg.resolved_num_appliers(), sv)
+        rows = run_actor_exchange(events, cfg.resolved_num_appliers(), sv,
+                                  compact_threshold=cfg.applier_compact_threshold)
         return ReplayResult(control=control, dataset=rd.from_arrow(rows))
     final = events.groupby("part").map_groups(
         lambda g: merge_apply(g, sv), batch_format="pyarrow")
@@ -291,7 +294,8 @@ def replay_to_lake(paths: list[str], out_dir: str,
         stats = run_actor_exchange(
             events, cfg.resolved_num_appliers(), sv,
             commit=dict(out_dir=out_dir, safe_watermark=safe_wm,
-                        max_commit_scn=max_commit, max_txn_span=span))
+                        max_commit_scn=max_commit, max_txn_span=span),
+            compact_threshold=cfg.applier_compact_threshold)
         return ReplayResult(control=control, stats=stats, out_dir=out_dir)
     stats_ds = events.groupby("part").map_groups(
         lambda g: _apply_and_commit(g, out_dir, sv, safe_wm, max_commit, span),

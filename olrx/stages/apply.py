@@ -109,6 +109,59 @@ def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
     return out.cast(S.transcripts_schema(schema_version))
 
 
+def compact_events(group: pa.Table) -> pa.Table:
+    """Reduce an event set to the subset that can still influence any future
+    merge: per key, the last delete row, the last alive row, and each
+    column's latest setting row. "Latest X over a union = latest of the
+    per-part latests", so compaction is a proper semigroup: appliers can
+    fold it over arriving shards incrementally, keeping buffered state
+    O(#keys) instead of O(#events) — the TransactionBuffer memory-bound
+    analog (/root/reference/src/common/MemoryManager.cpp:197-260).
+    """
+    n = group.num_rows
+    if n == 0:
+        return group
+
+    def as_np(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.to_numpy(zero_copy_only=False)
+
+    conv_dict = pc.dictionary_encode(group["conv_id"])
+    if isinstance(conv_dict, pa.ChunkedArray):
+        conv_dict = conv_dict.combine_chunks()
+    codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = as_np(group["turn_idx"]).astype(np.int64)
+    cscn = as_np(group["commit_scn"]).astype(np.int64)
+    scn = as_np(group["scn"]).astype(np.int64)
+    sidx = as_np(group["scn_idx"]).astype(np.int64)
+    op = as_np(group["op_code"])
+    mask = as_np(group["changed_mask"]).astype(np.int64)
+
+    order = np.lexsort((sidx, scn, cscn, turn, codes))
+    codes_s, turn_s = codes[order], turn[order]
+    op_s, mask_s = op[order], mask[order]
+    new_seg = np.empty(n, bool)
+    new_seg[0] = True
+    new_seg[1:] = (codes_s[1:] != codes_s[:-1]) | (turn_s[1:] != turn_s[:-1])
+    seg_starts = np.flatnonzero(new_seg)
+    idx = np.arange(n, dtype=np.int64)
+
+    def seg_max(values: np.ndarray) -> np.ndarray:
+        return np.maximum.reduceat(values, seg_starts)
+
+    is_d = op_s == OP_D
+    keep_sorted = [seg_max(np.where(is_d, idx, -1)),
+                   seg_max(np.where(~is_d, idx, -1))]
+    n_cols = len(S.payload_columns(S.MAX_SCHEMA_VERSION))
+    for bit in range(n_cols):
+        keep_sorted.append(
+            seg_max(np.where(((mask_s >> bit) & 1 == 1) & ~is_d, idx, -1)))
+    kept = np.unique(np.concatenate(keep_sorted))
+    kept = kept[kept >= 0]
+    return group.take(pa.array(np.sort(order[kept])))
+
+
 def apply_stats(group: pa.Table) -> dict[str, int]:
     """Lineage counters for a partition's event group (reference analog:
     dml_ops / transactions metrics, /root/reference/src/common/metrics/Metrics.h)."""

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from olrx.stages.apply import merge_apply
+from olrx.stages.apply import compact_events, merge_apply
 
 
 @ray.remote
@@ -38,11 +38,20 @@ class PartitionApplier:
     decoded event shards, then merges and (optionally) commits each."""
 
     def __init__(self, applier_id: int, num_appliers: int,
-                 schema_version: int) -> None:
+                 schema_version: int,
+                 compact_threshold: int = 0) -> None:
         self.applier_id = applier_id
         self.num_appliers = num_appliers
         self.schema_version = schema_version
         self.shards: list[pa.Table] = []
+        self.buffered_rows = 0
+        #: opt-in memory guard (0 = off): once buffered events exceed this,
+        #: fold them into the per-key winner set (compact_events) — applier
+        #: state stays O(#keys) however long the stream is. Compaction runs
+        #: on the actor's serial path and routing acks wait on it, so enable
+        #: it only when a partition's share would outgrow the node's heap
+        #: (the TransactionBuffer swap analog, MemoryManager.cpp:197-260)
+        self.compact_threshold = compact_threshold
         # all appliers finalize concurrently; each Arrow kernel spawning a
         # full-size internal thread pool oversubscribes the node and inflates
         # even plain numpy wall time via preemption
@@ -52,6 +61,12 @@ class PartitionApplier:
     def add(self, shard: pa.Table) -> int:
         if shard.num_rows:
             self.shards.append(shard)
+            self.buffered_rows += shard.num_rows
+            if self.compact_threshold and self.buffered_rows >= self.compact_threshold:
+                compacted = compact_events(
+                    pa.concat_tables(self.shards, promote_options="default"))
+                self.shards = [compacted]
+                self.buffered_rows = compacted.num_rows
         return shard.num_rows
 
     def finalize_rows(self) -> pa.Table:
@@ -118,13 +133,15 @@ def make_router(appliers: list, num_appliers: int):
 
 
 def run_actor_exchange(events, num_appliers: int, schema_version: int,
-                       commit: dict | None = None) -> pa.Table:
+                       commit: dict | None = None,
+                       compact_threshold: int = 0) -> pa.Table:
     """Drive the routed stream and finalize.
 
     ``commit=None`` → return final transcript rows (dataset-mode analog);
     else commit kwargs for `finalize_commit` → returns the stats table.
     """
-    appliers = [PartitionApplier.remote(a, num_appliers, schema_version)
+    appliers = [PartitionApplier.remote(a, num_appliers, schema_version,
+                                        compact_threshold)
                 for a in range(num_appliers)]
     routed = events.map_batches(make_router(appliers, num_appliers),
                                 batch_format="pyarrow")

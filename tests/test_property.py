@@ -94,3 +94,22 @@ def test_merge_matches_dict_apply(events):
         g = got_rows[(f"c{conv}", turn)]
         for nm in names:
             assert g[nm] == row[nm], ((conv, turn), nm, g, row)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(event, min_size=0, max_size=40,
+                unique_by=lambda e: (e[0], e[1], e[3], e[4], e[5])),
+       st.integers(0, 3))
+def test_compaction_preserves_merge(events, split_at):
+    """merge(compact(A) + B) == merge(A + B): compaction is a semigroup fold."""
+    from olrx.stages.apply import compact_events
+
+    t = to_table(events)
+    cut = (len(events) * split_at) // 4
+    a, b = t.slice(0, cut), t.slice(cut)
+    merged_plain = merge_apply(t, 1)
+    compacted = compact_events(a)
+    recombined = pa.concat_tables([compacted, b], promote_options="default")
+    merged_compacted = merge_apply(recombined, 1)
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert merged_compacted.sort_by(key).equals(merged_plain.sort_by(key))
