@@ -7,8 +7,11 @@ Re-expresses the reference's `condition` expression tree
 once (shunting-yard → RPN) and evaluated per batch with `pyarrow.compute`
 kernels — no per-row Python.
 
-Grammar:
-    expr   := term (('AND'|'OR') term)*
+Grammar (conventional boolean precedence — NOT > AND > OR, matching SQL;
+the reference's shift-reduce parser treats AND/OR flat-left-associative,
+which silently contradicts what SQL-trained users expect, so we deviate):
+    expr   := conj ('OR' conj)*
+    conj   := term ('AND' term)*
     term   := 'NOT' term | '(' expr ')' | cmp
     cmp    := ident ('=='|'!=') literal | ident 'IN' '(' literal, ... ')'
     literal:= 'single-quoted string' | number | NULL
@@ -65,10 +68,17 @@ class Condition:
         return t
 
     def _parse_expr(self):
+        node = self._parse_conj()
+        while self._peek()[0] == "OR":
+            self._take()
+            node = ("or", node, self._parse_conj())
+        return node
+
+    def _parse_conj(self):
         node = self._parse_term()
-        while self._peek()[0] in ("AND", "OR"):
-            op, _ = self._take()
-            node = (op.lower(), node, self._parse_term())
+        while self._peek()[0] == "AND":
+            self._take()
+            node = ("and", node, self._parse_term())
         return node
 
     def _parse_term(self):

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import glob
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -110,32 +111,50 @@ WHERE e.op IN ('I','U','D')
 # ---------------------------------------------------------------------------
 
 def q_cdc_txn_stats(sf_dir: str) -> rd.Dataset:
+    """Per-transaction lineage. Combiner pattern end-to-end: per-batch
+    partial per-op counts (wide → O(#txns-in-batch) rows), a distributed
+    ``groupby(xid)`` sum over the partials, and a vectorized finishing
+    map — the result stays a Dataset; nothing O(#txns) lands on the driver."""
     paths = changelog_paths_for(sf_dir)
     ds = rd.read_parquet(paths, columns=["xid", "op"])
+    op_names = {"I": "n_insert", "U": "n_update", "D": "n_delete",
+                "C": "n_commit", "R": "n_rollback"}
 
     def partial(t: pa.Table) -> pa.Table:
-        # per-batch partial counts → tiny shuffle instead of all-events shuffle
+        # per-batch pivot to one row per xid with per-op count columns —
+        # the shuffle moves O(#txns) small rows, never the event stream
         g = t.group_by(["xid", "op"]).aggregate([("op", "count")])
-        return g.rename_columns(["xid", "op", "n"])
+        df = g.to_pandas().pivot_table(index="xid", columns="op",
+                                       values="op_count", fill_value=0,
+                                       aggfunc="sum")
+        cols = {"xid": pa.array(df.index.to_numpy(dtype=object), pa.string())}
+        for op, name in op_names.items():
+            vals = (df[op].to_numpy() if op in df.columns
+                    else np.zeros(len(df)))
+            cols[name] = pa.array(vals.astype("int64"), pa.int64())
+        return pa.table(cols)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-    # partials are O(#txns × #ops) — tiny; final combine on the driver
-    df = parts.to_pandas().groupby(["xid", "op"], as_index=False)["n"].sum()
-    pv = df.pivot_table(index="xid", columns="op", values="n",
-                        fill_value=0, aggfunc="sum")
-    for c in ("I", "U", "D", "C", "R"):
-        if c not in pv.columns:
-            pv[c] = 0
-    out = pa.table({
-        "xid": pa.array(pv.index.to_numpy(dtype=object), pa.string()),
-        "n_events": pa.array((pv["I"] + pv["U"] + pv["D"]).to_numpy(), pa.int64()),
-        "n_insert": pa.array(pv["I"].to_numpy(), pa.int64()),
-        "n_update": pa.array(pv["U"].to_numpy(), pa.int64()),
-        "n_delete": pa.array(pv["D"].to_numpy(), pa.int64()),
-        "outcome": pa.array(["commit" if c > 0 else ("rollback" if r > 0 else "open")
-                             for c, r in zip(pv["C"].to_numpy(), pv["R"].to_numpy())]),
-    })
-    return out
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("xid")
+             .aggregate(*[Sum(name, alias_name=name)
+                          for name in op_names.values()]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nc = t["n_commit"].to_numpy(zero_copy_only=False)
+        nr = t["n_rollback"].to_numpy(zero_copy_only=False)
+        outcome = np.where(nc > 0, "commit", np.where(nr > 0, "rollback", "open"))
+        n_events = pc.add(pc.add(t["n_insert"], t["n_update"]), t["n_delete"])
+        return pa.table({
+            "xid": t["xid"],
+            "n_events": n_events.cast(pa.int64()),
+            "n_insert": t["n_insert"].cast(pa.int64()),
+            "n_update": t["n_update"].cast(pa.int64()),
+            "n_delete": t["n_delete"].cast(pa.int64()),
+            "outcome": pa.array(outcome.astype(object), pa.string()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def sql_cdc_txn_stats(sf_dir: str) -> str:

@@ -103,47 +103,31 @@ def _sidecar_paths(paths: list[str]) -> list[str] | None:
     return side if all(os.path.exists(sp) for sp in side) else None
 
 
-def load_control(paths: list[str], read_blocks: int | None = None,
-                 scn_floor: int = -1) -> ControlInfo:
+def load_control(paths: list[str], read_blocks: int | None = None) -> ControlInfo:
     """Collect control rows (commit map, DDLs, shard watermarks, txn span).
 
     Fast path: per-segment control sidecars (`_ctl/<segment>`) hold only the
     B/C/R/DDL rows with precomputed xid hashes — O(#txns) bytes instead of a
     full-stream scan. Fallback: pruned-column Ray pass over the segments.
 
-    ``scn_floor``: parquet row groups entirely ≤ floor are skipped at the
-    read (statistics pushdown) — the incremental-tail fast path."""
+    The scan is deliberately NOT pruned by a resume floor: ``max_txn_span``
+    must bound every transaction, including ones that straddle the floor —
+    pruning the B rows below the floor makes the span (and therefore the
+    event-read pruning bound in replay) unsound. Span is recomputed from the
+    full control set on every run (a numpy searchsorted over precomputed
+    hashes — cheap at O(#txns); the reference instead checkpoints the true
+    min-open-txn restart position, TransactionBuffer.cpp:274-286)."""
     side = _sidecar_paths(paths)
     if side is not None:
-        import json as _json
-        import os as _os
-
         import pyarrow.dataset as pads
         dset = pads.dataset(side, format="parquet")
-        flt = (pc.field("scn") > scn_floor) if scn_floor >= 0 else None
-        ctl = dset.to_table(filter=flt)   # multithreaded scan of the index
+        ctl = dset.to_table()   # multithreaded scan of the index
         ctl = (ctl.combine_chunks() if ctl.num_rows
                else changelog_empty_control())
-        # dir-level span cache: the B/C pairing over millions of txns is the
-        # one remaining serial cost — compute once per log directory
-        span_path = _os.path.join(_os.path.dirname(side[0]), "_span.json")
-        known = None
-        try:
-            with open(span_path) as f:
-                known = int(_json.load(f)["max_txn_span"])
-        except (OSError, ValueError, KeyError):
-            known = None
-        info = _control_info_from(ctl, _known_span=known)
-        if known is None:
-            tmp = span_path + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump({"max_txn_span": info.max_txn_span}, f)
-            _os.replace(tmp, span_path)
-        return info
+        return _control_info_from(ctl)
     if read_blocks is None:
         read_blocks = 2 * int(ray.cluster_resources().get("CPU", 8))
-    flt = (pc.field("scn") > scn_floor) if scn_floor >= 0 else None
-    ds = rd.read_parquet(paths, columns=CONTROL_COLUMNS, filter=flt,
+    ds = rd.read_parquet(paths, columns=CONTROL_COLUMNS,
                          override_num_blocks=read_blocks)
     # collect control rows as Arrow refs — no pandas round-trip; the result
     # is O(#txns), the only driver-side materialization in the engine
@@ -153,8 +137,7 @@ def load_control(paths: list[str], read_blocks: int | None = None,
     return _control_info_from(ctl)
 
 
-def _control_info_from(ctl: pa.Table, _known_span: int | None = None
-                       ) -> ControlInfo:
+def _control_info_from(ctl: pa.Table) -> ControlInfo:
     if "xid_h" not in ctl.schema.names:
         import pandas as _pd
         h = _pd.util.hash_array(np.asarray(
@@ -175,21 +158,20 @@ def _control_info_from(ctl: pa.Table, _known_span: int | None = None
     c_order = np.argsort(c_hashes)
     lookup = (np.ascontiguousarray(c_hashes[c_order]),
               np.ascontiguousarray(commit_map["commit_scn"].to_numpy()[c_order]))
-    max_txn_span = _known_span if _known_span is not None else 0
-    if _known_span is None:
-        begins = ctl.filter(pc.equal(ctl["op"], "B"))
-        if begins.num_rows and commit_map.num_rows:
-            b_h = begins["xid_h"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(lookup[0], b_h), 0, len(lookup[0]) - 1)
-            found = lookup[0][pos] == b_h
-            if found.any():
-                spans = (lookup[1][pos] -
-                         begins["scn"].to_numpy(zero_copy_only=False).astype(np.int64))
-                max_txn_span = int(spans[found].max())
+    max_txn_span = 0
+    begins = ctl.filter(pc.equal(ctl["op"], "B"))
+    if begins.num_rows and commit_map.num_rows:
+        b_h = begins["xid_h"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(lookup[0], b_h), 0, len(lookup[0]) - 1)
+        found = lookup[0][pos] == b_h
+        if found.any():
+            spans = (lookup[1][pos] -
+                     begins["scn"].to_numpy(zero_copy_only=False).astype(np.int64))
+            max_txn_span = int(spans[found].max())
     # committed DDLs: DDL row whose xid is in the commit map (hash lookup)
     ddls = ctl.filter(pc.equal(ctl["op"], "DDL"))
     ddl_scns: list[int] = []
-    if ddls.num_rows:
+    if ddls.num_rows and commit_map.num_rows:
         d_h = ddls["xid_h"].to_numpy(zero_copy_only=False)
         pos = np.clip(np.searchsorted(lookup[0], d_h), 0, len(lookup[0]) - 1)
         found = lookup[0][pos] == d_h
@@ -256,7 +238,10 @@ class CommitResolver:
             dml = dml.filter(pc.match_substring_regex(dml["conv_id"], self.conv_regex))
         if dml.num_rows and self.condition is not None:
             dml = self.condition.filter(dml)
-        if dml.num_rows == 0:
+        if dml.num_rows == 0 or self._commit_hashes is None \
+                or len(self._commit_hashes) == 0:
+            # empty commit map (only rolled-back/open txns in the input, or an
+            # incremental window with no new commits) ⇒ every event drops
             return self._empty()
         # commit lookup: hashed xid → binary-search into the broadcast sorted
         # hash array. O(batch·log #txns) with zero per-batch build cost —

@@ -134,11 +134,15 @@ def make_router(appliers: list, num_appliers: int):
 
 def run_actor_exchange(events, num_appliers: int, schema_version: int,
                        commit: dict | None = None,
-                       compact_threshold: int = 0) -> pa.Table:
+                       compact_threshold: int = 0,
+                       as_refs: bool = False):
     """Drive the routed stream and finalize.
 
-    ``commit=None`` → return final transcript rows (dataset-mode analog);
-    else commit kwargs for `finalize_commit` → returns the stats table.
+    ``commit=None`` → final transcript rows: a list of per-applier Arrow
+    ObjectRefs when ``as_refs`` (feed ``ray.data.from_arrow_refs`` — the
+    result never concatenates on the driver), else one concatenated table
+    (tests / small inputs only). With ``commit`` kwargs → the stats table
+    (small: one row per partition).
     """
     appliers = [PartitionApplier.remote(a, num_appliers, schema_version,
                                         compact_threshold)
@@ -147,7 +151,15 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
                                 batch_format="pyarrow")
     routed.count()  # consume the stream; all adds acked by completion
     if commit is None:
-        outs = ray.get([a.finalize_rows.remote() for a in appliers])
+        refs = [a.finalize_rows.remote() for a in appliers]
+        if as_refs:
+            # block until the blocks are durably in plasma, then release the
+            # actors — the refs stay valid (owned by the driver)
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            for a in appliers:
+                ray.kill(a)
+            return refs
+        outs = ray.get(refs)
     else:
         outs = ray.get([a.finalize_commit.remote(**commit) for a in appliers])
     for a in appliers:

@@ -86,12 +86,50 @@ def read_all(manifest_dir: str) -> dict[int, PartitionManifest]:
     return out
 
 
-def global_watermark(manifest_dir: str, num_partitions: int) -> int:
-    """Min over partitions of the applied watermark — the safe resume point
-    (analog of the min-open-txn restart position,
-    /root/reference/src/parser/TransactionBuffer.cpp:274-286). Partitions
-    without a manifest pin the watermark at -1 (nothing confirmed)."""
-    ms = read_all(manifest_dir)
-    if len(ms) < num_partitions:
+def write_lake_watermark(manifest_dir: str, watermark_commit_scn: int,
+                         schema_version: int = 0) -> None:
+    """Lake-level confirmed floor, written by the driver after EVERY
+    partition's commit succeeded. Partitions that received no events never
+    write a per-partition manifest (both exchange modes), so a sparse lake's
+    min-over-manifests floor would stay pinned at -1 forever and every tail
+    run would re-read all history; the lake watermark closes that gap. Crash
+    before this write falls back to the per-partition floor — re-application
+    is idempotent, so that is a performance regression, never a correctness
+    one."""
+    if watermark_commit_scn < 0:
+        return
+    os.makedirs(manifest_dir, exist_ok=True)
+    p = os.path.join(manifest_dir, "_lake.json")
+    prev = read_lake_watermark(manifest_dir)
+    wm = max(prev, watermark_commit_scn)
+    tmp = f"{p}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"watermark_commit_scn": wm,
+                   "schema_version": schema_version,
+                   "updated_unix": time.time()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def read_lake_watermark(manifest_dir: str) -> int:
+    try:
+        with open(os.path.join(manifest_dir, "_lake.json")) as f:
+            return int(json.load(f)["watermark_commit_scn"])
+    except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
         return -1
-    return min(m.watermark_commit_scn for m in ms.values())
+
+
+def global_watermark(manifest_dir: str, num_partitions: int) -> int:
+    """The safe resume floor: everything ≤ it is applied+durable in every
+    partition (analog of the min-open-txn restart position,
+    /root/reference/src/parser/TransactionBuffer.cpp:274-286). Two sources:
+    the lake-level watermark (covers event-less partitions), and — when every
+    partition has a manifest — the min per-partition watermark, which can be
+    ahead of the lake file after a crash between partition commits and the
+    lake write."""
+    lake = read_lake_watermark(manifest_dir)
+    ms = read_all(manifest_dir)
+    if len(ms) >= num_partitions:
+        return max(lake, min(m.watermark_commit_scn for m in ms.values()))
+    return lake
