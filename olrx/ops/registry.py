@@ -35,6 +35,8 @@ OPS_QUERIES = {
 
 OPS_ORACLES = {
     "text_stats": text.sql_text_stats,
+    "lang_id": text.sql_lang_id,
+    "doc_fingerprints": text.sql_fingerprints,
     "dedup_exact": dedup.sql_dedup_exact,
     "embedding_pairs_exact": dedup.sql_embedding_pairs_exact,
     "ann_bruteforce": similarity.sql_ann_bruteforce,

@@ -51,6 +51,23 @@ class TextStats:
         return out
 
 
+def _stopword_hits(words: pd.Series, stops: frozenset, distinct: bool,
+                   index_len: int) -> np.ndarray:
+    """Vectorized per-row stopword-hit counts for a Series of word lists:
+    explode → isin → groupby-sum. No per-row Python lambda — the explode /
+    isin / groupby path is all pandas C kernels."""
+    ex = words.reset_index(drop=True).explode().dropna()
+    if distinct and len(ex):
+        ex = ex.to_frame("w").reset_index().drop_duplicates()["w"] \
+               .set_axis(ex.to_frame("w").reset_index().drop_duplicates()["index"])
+    hits = ex[ex.isin(stops)]
+    counts = np.zeros(index_len, np.int64)
+    if len(hits):
+        g = hits.groupby(level=0).size()
+        counts[g.index.to_numpy()] = g.to_numpy()
+    return counts
+
+
 class QualityScore:
     """Heuristic document quality in [0, 1]: length band + punctuation sanity
     + stopword presence (the C4/Gopher-style rule family, simplified)."""
@@ -62,8 +79,10 @@ class QualityScore:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].fillna("")
         words = texts.str.lower().str.findall(self.word_re)
-        n_words = words.str.len().clip(lower=1)
-        stop_frac = words.map(lambda ws: sum(w in self.all_stops for w in ws)) / n_words
+        n_words = words.str.len().clip(lower=1).to_numpy()
+        n_stop = _stopword_hits(words, self.all_stops, distinct=False,
+                                index_len=len(df))
+        stop_frac = n_stop / n_words
         n_chars = texts.str.len()
         len_score = ((n_chars >= 50) & (n_chars <= 20_000)).astype(float)
         punct = texts.str.count(r"[^\w\s]") / n_chars.clip(lower=1)
@@ -76,50 +95,193 @@ class QualityScore:
 
 
 class LangId:
-    """Stopword-vote language heuristic (public fastText-style fallback)."""
+    """Stopword-vote language heuristic (public fastText-style fallback).
+
+    Tokenization is deliberately the ASCII class ``[a-z0-9_']+`` (not ``\\w``)
+    so the DuckDB oracle's RE2 (ASCII ``\\w``) splits text identically; the
+    stopword lists are pure-ASCII so non-ASCII tokens can never vote anyway.
+    Vote: per language, count DISTINCT words present in its stoplist; winner
+    is the first language (fixed order en,de,fr,es) attaining the max count;
+    ``und`` when no stopword hits at all."""
+
+    LANGS = ("en", "de", "fr", "es")
 
     def __init__(self) -> None:
-        self.word_re = re.compile(r"[\w']+", re.UNICODE)
-        self.langs = list(_LANG_STOPWORDS)
+        self.word_re = re.compile(r"[a-z0-9_']+")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].fillna("").str.lower()
         words = texts.str.findall(self.word_re)
-
-        def vote(ws: list) -> str:
-            best, best_n = "und", 0
-            s = set(ws)
-            for lang in self.langs:
-                n = len(s & _LANG_STOPWORDS[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            return best
-
+        n = len(df)
+        # one explode + drop_duplicates, then per-lang isin/groupby — all
+        # pandas C kernels, no per-row Python vote loop
+        ex = words.reset_index(drop=True).explode().dropna() \
+                  .to_frame("w").reset_index().drop_duplicates()
+        counts = np.zeros((n, len(self.LANGS)), np.int64)
+        for li, lang in enumerate(self.LANGS):
+            hit = ex[ex["w"].isin(_LANG_STOPWORDS[lang])]
+            if len(hit):
+                g = hit.groupby("index").size()
+                counts[g.index.to_numpy(), li] = g.to_numpy()
+        best = counts.argmax(axis=1)            # ties → first lang in order
+        pred = np.asarray(self.LANGS, dtype=object)[best]
+        pred[counts.max(axis=1) == 0] = "und"
         return pd.DataFrame({"doc_id": df["doc_id"],
-                             "lang_pred": words.map(vote)})
+                             "lang_pred": pred})
 
 
-def fingerprints(batch: pa.Table, window: int = 64) -> pa.Table:
-    """Document fingerprint: full-content FNV-1a hash + a winnowed rolling
-    hash (min hash over character windows) for containment checks."""
+def sql_lang_id(sf_dir: str) -> str:
+    """DuckDB mirror of LangId: distinct-word stoplist counts + the ordered
+    argmax tie-break (first language in en,de,fr,es order wins a tie)."""
+    def cnt(lang: str) -> str:
+        wl = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+        return (f"len(list_filter(words, x -> list_contains([{wl}], x))) AS {lang}")
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, {cnt('en')}, {cnt('de')}, {cnt('fr')}, {cnt('es')} FROM w
+)
+SELECT doc_id,
+       CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c
+"""
+
+
+_FP_MOD = np.uint64(2147483647)   # 2^31 - 1: keeps every product in uint64
+_FP_MULT = 31
+_FP_WINDOW = 64                   # winnowing window (code points)
+_FP_STEP = 32
+
+
+def _poly_pows(n: int) -> np.ndarray:
+    """31^k mod p for k in [0, n) — cached per process."""
+    global _POW_CACHE
+    try:
+        if len(_POW_CACHE) >= n:
+            return _POW_CACHE[:n]
+    except NameError:
+        pass
+    p = np.empty(max(n, 1024), np.uint64)
+    p[0] = 1
+    for i in range(1, len(p)):
+        p[i] = (p[i - 1] * np.uint64(_FP_MULT)) % _FP_MOD
+    _POW_CACHE = p
+    return p[:n]
+
+
+def _inv_pows(n: int) -> np.ndarray:
+    """31^-k mod p for k in [0, n) — cached per process."""
+    global _INV_CACHE
+    try:
+        if len(_INV_CACHE) >= n:
+            return _INV_CACHE[:n]
+    except NameError:
+        pass
+    inv = pow(_FP_MULT, int(_FP_MOD) - 2, int(_FP_MOD))
+    p = np.empty(max(n, 1024), np.uint64)
+    p[0] = 1
+    for i in range(1, len(p)):
+        p[i] = (p[i - 1] * np.uint64(inv)) % _FP_MOD
+    _INV_CACHE = p
+    return p[:n]
+
+
+def fingerprints(batch: pa.Table) -> pa.Table:
+    """Document fingerprinting (rolling hash): ``fp_full`` = polynomial hash
+    of the whole code-point sequence (Horner, mult 31, mod 2^31-1 — the
+    classic Rabin-Karp/Karp-Rabin rolling-hash family), ``fp_min`` = winnowed
+    min over 64-code-point windows at stride 32 (containment sketch).
+
+    Both are exactly mirrored by the DuckDB oracle (`sql_fingerprints`) via
+    ``list_reduce`` Horner over ``unicode()`` code points. Vectorized: all
+    texts concatenated into one code-point array, per-term ``c·31^k mod p``
+    products, and ``np.add.reduceat`` segment sums — no per-document Python
+    loop."""
     texts = batch["text"].to_pandas().fillna("")
-    full = pd.util.hash_array(texts.to_numpy(dtype=object)).astype(np.uint64)
-    mins = np.empty(len(texts), np.uint64)
-    for i, t in enumerate(texts):
-        b = t.encode("utf-8", "ignore")
-        if len(b) <= window:
-            mins[i] = full[i]
-            continue
-        arr = np.frombuffer(b, np.uint8).astype(np.uint64)
-        # rolling polynomial hash over fixed windows, vectorized via cumsum trick
-        weights = np.arange(1, window + 1, dtype=np.uint64)
-        view = np.lib.stride_tricks.sliding_window_view(arr, window)[::window // 2]
-        mins[i] = (view * weights).sum(axis=1).min()
+    n = len(texts)
+    lens = texts.str.len().to_numpy().astype(np.int64)
+    if n == 0 or lens.sum() == 0:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fp_full": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "fp_min": pa.array(np.zeros(n, np.int64), pa.int64())})
+    # one flat code-point array + offsets
+    joined = "".join(texts.tolist())
+    cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32).astype(np.uint64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    maxlen = int(lens.max())
+    pows = _poly_pows(maxlen)
+    # weight of position i in doc d is 31^(len_d - 1 - (i - off_d))
+    doc_of = np.repeat(np.arange(n), lens)
+    pos_in = np.arange(len(cp)) - offs[:-1][doc_of]
+    exp = (lens[doc_of] - 1 - pos_in)
+    terms = (cp * pows[exp]) % _FP_MOD          # < 2^31 each
+    # segment sums: each term < 2^31, docs < 2^33 chars → sum fits uint64
+    full = np.zeros(n, np.uint64)
+    nz = lens > 0
+    full[nz] = np.add.reduceat(terms, offs[:-1][nz]) % _FP_MOD
+    mins = full.copy()
+    W, STEP = _FP_WINDOW, _FP_STEP
+    # windowed hashes via doc-local prefix weights: with per-doc weights
+    # 31^(L-1-pos), window [s, s+W) hashes to
+    #   (prefix[s+W] - prefix[s]) * 31^-(L-s-W)  (mod p, p prime)
+    # — one cumsum + one gather for ALL windows of ALL docs, no per-doc loop
+    win_docs = np.flatnonzero(lens > W)
+    if len(win_docs):
+        prefix = np.zeros(len(cp) + 1, np.uint64)
+        np.cumsum(terms, out=prefix[1:])        # < 2^31·M, fits uint64 for M<2^33
+        prefix %= _FP_MOD
+        n_win = (lens[win_docs] - W) // STEP + 1
+        woffs = np.zeros(len(win_docs) + 1, np.int64)
+        np.cumsum(n_win, out=woffs[1:])
+        wdoc = np.repeat(np.arange(len(win_docs)), n_win)
+        within = (np.arange(woffs[-1]) - woffs[:-1][wdoc]) * STEP
+        starts = offs[:-1][win_docs][wdoc] + within
+        diff = (prefix[starts + W] - prefix[starts] + _FP_MOD) % _FP_MOD
+        inv_exp = lens[win_docs][wdoc] - within - W      # == L - s_local - W
+        whash = (diff * _inv_pows(int(inv_exp.max()) + 1)[inv_exp]) % _FP_MOD
+        mins[win_docs] = np.minimum.reduceat(whash, woffs[:-1])
     return pa.table({
         "doc_id": batch["doc_id"],
-        "fp_full": pa.array(full.astype(np.int64) if False else full, pa.uint64()),
-        "fp_min": pa.array(mins, pa.uint64()),
+        "fp_full": pa.array(full.astype(np.int64), pa.int64()),
+        "fp_min": pa.array(mins.astype(np.int64), pa.int64()),
     })
+
+
+def sql_fingerprints(sf_dir: str) -> str:
+    """DuckDB mirror of :func:`fingerprints`: Horner polynomial hash over
+    ``unicode()`` code points (mult 31, mod 2^31-1), and the winnowed min
+    over 64-code-point windows at stride 32."""
+    p, m, w, step = int(_FP_MOD), _FP_MULT, _FP_WINDOW, _FP_STEP
+    return f"""
+WITH cps AS (
+  SELECT doc_id, length(coalesce(text, '')) AS n,
+         list_transform(string_split(coalesce(text, ''), ''),
+                        x -> unicode(x)) AS cp
+  FROM documents
+), fp AS (
+  SELECT doc_id, n, cp,
+         CASE WHEN n = 0 THEN 0
+              ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), cp),
+                               (a, b) -> (a * {m} + b) % {p}) END AS fp_full
+  FROM cps
+)
+SELECT doc_id, fp_full,
+       CASE WHEN n <= {w} THEN fp_full
+            ELSE list_min(list_transform(
+                   range(1, n - {w} + 2, {step}),
+                   i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(cp, i, i + {w} - 1)),
+                                    (a, b) -> (a * {m} + b) % {p})))
+       END AS fp_min
+FROM fp
+"""
 
 
 # ---------------------------------------------------------------------------
