@@ -17,9 +17,11 @@ OPS_QUERIES = {
     # dedup
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_minhash": dedup.q_dedup_minhash,
+    "dedup_minhash_pairs": dedup.q_dedup_minhash_pairs,
     "dedup_simhash": dedup.q_dedup_simhash,
     "embedding_pairs_exact": dedup.q_embedding_pairs_exact,
     "embedding_neardup_lsh": dedup.q_embedding_neardup_lsh,
+    "embedding_neardup_recall": dedup.q_embedding_neardup_recall,
     # similarity search
     "ann_bruteforce": similarity.q_ann_bruteforce,
     "ann_lsh": similarity.q_ann_lsh,
@@ -38,8 +40,14 @@ OPS_ORACLES = {
     "lang_id": text.sql_lang_id,
     "doc_fingerprints": text.sql_fingerprints,
     "dedup_exact": dedup.sql_dedup_exact,
+    "dedup_simhash": dedup.sql_dedup_simhash,
+    "dedup_minhash": dedup.sql_dedup_minhash,
+    "dedup_minhash_pairs": dedup.sql_dedup_minhash_pairs,
     "embedding_pairs_exact": dedup.sql_embedding_pairs_exact,
+    "embedding_neardup_lsh": dedup.sql_embedding_neardup_lsh,
+    "embedding_neardup_recall": dedup.sql_embedding_neardup_recall,
     "ann_bruteforce": similarity.sql_ann_bruteforce,
+    "ann_lsh": similarity.sql_ann_lsh,
     "media_stats": multimodal.sql_media_stats,
     "events_hourly": events.sql_events_hourly,
     "events_sessions": events.sql_events_sessions,

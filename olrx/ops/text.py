@@ -193,6 +193,40 @@ def _inv_pows(n: int) -> np.ndarray:
     return p[:n]
 
 
+def poly_hash_strings(arr: np.ndarray, mult: int = _FP_MULT) -> np.ndarray:
+    """Vectorized Horner polynomial hash (mod 2^31-1) over the code points of
+    each string in an object array — the SQL-mirrorable hash shared by
+    fingerprints and simhash. One concatenated code-point array + reduceat;
+    no per-string Python loop. ``mult`` selects the hash family (31 default;
+    simhash combines two families for a 62-bit signature)."""
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    lens = np.fromiter((len(s) for s in arr), np.int64, n)
+    joined = "".join(arr.tolist())
+    if not joined:
+        return np.zeros(n, np.uint64)
+    cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32).astype(np.uint64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    maxlen = int(lens.max())
+    if mult == _FP_MULT:
+        pows = _poly_pows(maxlen)
+    else:
+        pows = np.empty(maxlen, np.uint64)
+        if maxlen:
+            pows[0] = 1
+        for i in range(1, maxlen):
+            pows[i] = (pows[i - 1] * np.uint64(mult)) % _FP_MOD
+    doc_of = np.repeat(np.arange(n), lens)
+    pos_in = np.arange(len(cp)) - offs[:-1][doc_of]
+    terms = (cp * pows[lens[doc_of] - 1 - pos_in]) % _FP_MOD
+    out = np.zeros(n, np.uint64)
+    nz = lens > 0
+    out[nz] = np.add.reduceat(terms, offs[:-1][nz]) % _FP_MOD
+    return out
+
+
 def fingerprints(batch: pa.Table) -> pa.Table:
     """Document fingerprinting (rolling hash): ``fp_full`` = polynomial hash
     of the whole code-point sequence (Horner, mult 31, mod 2^31-1 — the
