@@ -64,6 +64,9 @@ class GenConfig:
     reinsert_ratio: float = 0.30   # P(reinsert | deleted)
     txn_avg_events: int = 12
     rollback_frac: float = 0.05    # rolled-back txns, as fraction of committed
+    partial_rollback_frac: float = 0.04  # committed txns containing a
+                                   # rollback-to-savepoint (PR ops undoing a
+                                   # trailing run of that txn's changes)
     open_txns: int = 2             # dangling txns at end-of-stream
     n_shards: int = 2
     segments_per_shard: int = 4
@@ -237,6 +240,49 @@ def generate(cfg: GenConfig) -> GenResult:
             "shard": ((anchor + 1) % cfg.n_shards).astype(np.int16),
         })
 
+    # ---- partial rollbacks (rollback-to-savepoint, reference 0x0506) ------
+    # Some committed txns additionally write a short run of DML that is then
+    # undone before commit (savepoint rollback, PLAN.md:376): the run's ops
+    # appear in the stream followed by PR records naming the undone change
+    # (the reference's undo vector pairs against the top of the transaction
+    # buffer, Transaction.cpp:73-148). The final table state is unchanged —
+    # decoders must drop exactly the PR-targeted ops.
+    pr_ctl = None   # (xid, scn, scn_idx, shard, undo_scn, undo_scn_idx)
+    n_pr = int(n_txn * cfg.partial_rollback_frac)
+    if n_pr > 0:
+        anchor = rng.integers(0, n_txn, n_pr)
+        k = rng.integers(1, 5, n_pr)
+        tot = int(k.sum())
+        tix = np.repeat(np.arange(n_pr), k)
+        pick = rng.integers(0, n_keys, tot)
+        is_ins = rng.random(tot) < 0.5
+        eki = key_conv[pick].copy()
+        eti = key_turn[pick].copy()
+        eti[is_ins] = fresh_turn + np.arange(int(is_ins.sum()))
+        fresh_turn += tot
+        j = np.arange(tot)
+        ev_scn_pr = commit_scn[anchor][tix] - 2
+        ev_idx_pr = 700_000 + j
+        xid_arr = np.char.add("x", anchor.astype("U9")).astype(object)[tix]
+        extras.append({
+            "ki": eki, "ti": eti, "ver": 95 + tix % 5,
+            "op": np.where(is_ins, "I", "U").astype("U3"),
+            "txn": np.full(tot, -1), "scn": ev_scn_pr,
+            "scn_idx": ev_idx_pr,
+            "shard": txn_shard[anchor][tix],
+            "committed": np.ones(tot, bool),
+            "commit_scn": commit_scn[anchor][tix],
+            "xid_arr": xid_arr,
+        })
+        pr_ctl = {
+            "xid": xid_arr,
+            "scn": commit_scn[anchor][tix] - 1,
+            "scn_idx": 800_000 + j,
+            "shard": txn_shard[anchor][tix],
+            "undo_scn": ev_scn_pr,
+            "undo_scn_idx": ev_idx_pr,
+        }
+
     # ---- DDL txn ----------------------------------------------------------
     ddl_scn = -1
     if cfg.ddl:
@@ -319,6 +365,18 @@ def generate(cfg: GenConfig) -> GenResult:
     c_xid = np.concatenate(parts_xid)
     c_op = np.concatenate(parts_op)
     c_ddl = np.full(len(c_scn), None, dtype=object)
+    c_undo_scn = np.full(len(c_scn), -1, np.int64)
+    c_undo_idx = np.full(len(c_scn), -1, np.int64)
+    if pr_ctl is not None:
+        m_pr = len(pr_ctl["xid"])
+        c_scn = np.concatenate([c_scn, pr_ctl["scn"]]).astype(np.int64)
+        c_idx = np.concatenate([c_idx, pr_ctl["scn_idx"]])
+        c_shard = np.concatenate([c_shard, pr_ctl["shard"]]).astype(np.int16)
+        c_xid = np.concatenate([c_xid, pr_ctl["xid"]])
+        c_op = np.concatenate([c_op, np.full(m_pr, "PR", dtype="U3")])
+        c_ddl = np.concatenate([c_ddl, np.full(m_pr, None, dtype=object)])
+        c_undo_scn = np.concatenate([c_undo_scn, pr_ctl["undo_scn"]]).astype(np.int64)
+        c_undo_idx = np.concatenate([c_undo_idx, pr_ctl["undo_scn_idx"]]).astype(np.int64)
     if ddl_scn > 0:
         payload = json.dumps({"add_columns": [{"name": "tool_meta", "type": "string"}]})
         c_scn = np.concatenate([c_scn, [ddl_scn - 1, ddl_scn, ddl_scn]])
@@ -327,6 +385,8 @@ def generate(cfg: GenConfig) -> GenResult:
         c_xid = np.concatenate([c_xid, np.array(["xddl"] * 3, dtype=object)])
         c_op = np.concatenate([c_op, np.array(["B", "DDL", "C"], dtype="U3")])
         c_ddl = np.concatenate([c_ddl, np.array([None, payload, None], dtype=object)])
+        c_undo_scn = np.concatenate([c_undo_scn, np.full(3, -1, np.int64)])
+        c_undo_idx = np.concatenate([c_undo_idx, np.full(3, -1, np.int64)])
     nc = len(c_scn)
 
     def cat(a, b):
@@ -345,6 +405,8 @@ def generate(cfg: GenConfig) -> GenResult:
     all_turn = cat(ti, nan_i32)
     all_mask = cat(mask.astype(np.int64), np.zeros(nc, np.int64))
     all_ts = cat(ev_ts, EPOCH_US + c_scn * 1_000_000)
+    all_undo_scn = cat(np.full(n, -1, np.int64), c_undo_scn)
+    all_undo_idx = cat(np.full(n, -1, np.int64), c_undo_idx)
 
     # ---- chunked assembly in redo-stream order ----------------------------
     # Arrow caps a single (string/struct) Array at 2 GiB; at bench scales the
@@ -436,6 +498,14 @@ def generate(cfg: GenConfig) -> GenResult:
             "changed_mask": pa.array(full_mask_arr[sel]).cast(pa.int32()),
             "changed_cols": pa.nulls(m, pa.list_(pa.string())),
             "ddl": pa.array(all_ddl[sel], pa.string()),
+            "undo_scn": _as_array(pc.if_else(
+                pa.array(all_undo_scn[sel] >= 0),
+                pa.array(all_undo_scn[sel], pa.int64()),
+                pa.nulls(m, pa.int64()))),
+            "undo_scn_idx": _as_array(pc.if_else(
+                pa.array(all_undo_idx[sel] >= 0),
+                pa.array(all_undo_idx[sel]).cast(pa.int32()),
+                pa.nulls(m, pa.int32()))),
             "ts": pa.array(all_ts[sel], pa.int64()).cast(pa.timestamp("us")),
         }))
 
@@ -493,8 +563,10 @@ def write_control_sidecars(segment_paths: list[str]) -> list[str]:
         out.append(cp)
         if os.path.exists(cp):
             continue
-        t = pq.read_table(p, columns=["xid", "op", "scn", "scn_idx", "ddl", "shard"])
-        ctl = t.filter(pc.is_in(t["op"], value_set=pa.array(["B", "C", "R", "DDL"])))
+        t = pq.read_table(p, columns=["xid", "op", "scn", "scn_idx", "ddl",
+                                      "shard", "undo_scn", "undo_scn_idx"])
+        ctl = t.filter(pc.is_in(t["op"],
+                                value_set=pa.array(["B", "C", "R", "DDL", "PR"])))
         h = pd.util.hash_array(np.asarray(
             ctl["xid"].to_numpy(zero_copy_only=False), dtype=object))
         ctl = ctl.append_column("xid_h", pa.array(h, pa.uint64()))

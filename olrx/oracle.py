@@ -36,6 +36,17 @@ def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1
     commits = {r.xid: r.scn for r in df[df["op"] == "C"].itertuples()}
 
     ev = df[df["op"].isin(["I", "U", "D", "DDL"])].copy()
+    # partial rollbacks: drop the exact ops each PR undo vector names
+    # (/root/reference/src/parser/Transaction.cpp:73-148)
+    if "undo_scn" in df.columns:
+        pr = df[df["op"] == "PR"]
+        if len(pr):
+            undone = set(zip(pr["xid"],
+                             pr["undo_scn"].astype("int64"),
+                             pr["undo_scn_idx"].astype("int64")))
+            key = list(zip(ev["xid"], ev["scn"].astype("int64"),
+                           ev["scn_idx"].astype("int64")))
+            ev = ev[[k not in undone for k in key]]
     ev["commit_scn"] = ev["xid"].map(commits)
     ev = ev[ev["commit_scn"].notna()]
     ev = ev.sort_values(["commit_scn", "scn", "scn_idx"], kind="stable")

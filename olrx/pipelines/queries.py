@@ -58,6 +58,9 @@ WITH commits AS (
   FROM read_parquet('{g}') e
   JOIN commits c USING (xid)
   WHERE e.op IN ('I','U','D')
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                    WHERE p.op = 'PR' AND p.xid = e.xid
+                      AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
 ), last AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
             ORDER BY commit_scn DESC, scn DESC, scn_idx DESC) AS rn
@@ -103,6 +106,9 @@ SELECT e.conv_id, CAST(e.turn_idx AS INTEGER) AS turn_idx, e.op,
        e.after.ts AS img_ts, e.after.tool_meta AS tool_meta
 FROM read_parquet('{g}') e JOIN commits c USING (xid)
 WHERE e.op IN ('I','U','D')
+  AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                  WHERE p.op = 'PR' AND p.xid = e.xid
+                    AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
 """
 
 
@@ -118,7 +124,8 @@ def q_cdc_txn_stats(sf_dir: str) -> rd.Dataset:
     paths = changelog_paths_for(sf_dir)
     ds = rd.read_parquet(paths, columns=["xid", "op"])
     op_names = {"I": "n_insert", "U": "n_update", "D": "n_delete",
-                "C": "n_commit", "R": "n_rollback"}
+                "C": "n_commit", "R": "n_rollback",
+                "PR": "n_partial_rollback"}
 
     def partial(t: pa.Table) -> pa.Table:
         # per-batch pivot to one row per xid with per-op count columns —
@@ -151,6 +158,7 @@ def q_cdc_txn_stats(sf_dir: str) -> rd.Dataset:
             "n_insert": t["n_insert"].cast(pa.int64()),
             "n_update": t["n_update"].cast(pa.int64()),
             "n_delete": t["n_delete"].cast(pa.int64()),
+            "n_partial_rollback": t["n_partial_rollback"].cast(pa.int64()),
             "outcome": pa.array(outcome.astype(object), pa.string()),
         })
 
@@ -165,6 +173,7 @@ SELECT xid,
        count(*) FILTER (WHERE op = 'I') AS n_insert,
        count(*) FILTER (WHERE op = 'U') AS n_update,
        count(*) FILTER (WHERE op = 'D') AS n_delete,
+       count(*) FILTER (WHERE op = 'PR') AS n_partial_rollback,
        CASE WHEN count(*) FILTER (WHERE op = 'C') > 0 THEN 'commit'
             WHEN count(*) FILTER (WHERE op = 'R') > 0 THEN 'rollback'
             ELSE 'open' END AS outcome
@@ -271,6 +280,9 @@ WITH commits AS (
   FROM read_parquet('{g}') e
   JOIN commits c USING (xid)
   WHERE e.op IN ('I','U','D')
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                    WHERE p.op = 'PR' AND p.xid = e.xid
+                      AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
     AND e.xid NOT IN ({skip})
     AND regexp_matches(e.conv_id, '{p["conv_regex"]}')
     AND c.commit_scn > {p["start_commit_scn"]}

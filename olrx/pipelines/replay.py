@@ -118,7 +118,7 @@ class ReplayResult:
 def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
                     min_commit_scn_excl: int = -1,
                     hot: frozenset | None = None) -> rd.Dataset:
-    commit_ref = ray.put(control.commit_lookup_arrays())
+    commit_ref = ray.put(control.decode_broadcast())
     hot_ref = None
     if hot:
         hot_ref = ray.put(hot)

@@ -62,8 +62,13 @@ MAX_SCHEMA_VERSION = len(ADDITIVE_COLUMNS)
 
 #: ops — reference opcodes collapse to these tags (SURVEY §2.2):
 #: B=begin (0x0502), C=commit / R=rollback (0x0504), I=insert (0x0B02/0x0B0B),
-#: U=update (0x0B05/0x0B10), D=delete (0x0B03/0x0B0C), DDL=schema change (0x1801).
-OPS = ("B", "C", "R", "I", "U", "D", "DDL")
+#: U=update (0x0B05/0x0B10), D=delete (0x0B03/0x0B0C), DDL=schema change
+#: (0x1801), PR=partial rollback / rollback-to-savepoint (0x0506/0x050B —
+#: the undo vector targets one specific prior change of the same txn, which
+#: the reference pairs off the top of the transaction buffer,
+#: /root/reference/src/parser/Transaction.cpp:73-148; here the target is
+#: carried explicitly as (undo_scn, undo_scn_idx)).
+OPS = ("B", "C", "R", "I", "U", "D", "DDL", "PR")
 
 
 def image_struct(schema_version: int = MAX_SCHEMA_VERSION) -> pa.DataType:
@@ -100,6 +105,10 @@ def changelog_schema(schema_version: int = MAX_SCHEMA_VERSION) -> pa.Schema:
             ("changed_mask", pa.int32()),
             ("changed_cols", pa.list_(pa.string())),  # human/SQL mirror of the mask
             ("ddl", pa.string()),         # JSON payload for DDL events, else null
+            # PR (partial rollback) events: the (scn, scn_idx) of the same
+            # txn's DML op this record undoes; null otherwise
+            ("undo_scn", pa.int64()),
+            ("undo_scn_idx", pa.int32()),
             ("ts", pa.timestamp("us")),   # event wall-clock timestamp
         ]
     )

@@ -36,7 +36,21 @@ from olrx import schema as S
 from olrx.stages.partition import partition_ids
 
 #: columns the control pass reads — prune everything else at the read
-CONTROL_COLUMNS = ["xid", "op", "scn", "scn_idx", "ddl", "shard"]
+CONTROL_COLUMNS = ["xid", "op", "scn", "scn_idx", "ddl", "shard",
+                   "undo_scn", "undo_scn_idx"]
+
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def mix_pr_keys(xid_h: np.ndarray, scn: np.ndarray, scn_idx: np.ndarray
+                ) -> np.ndarray:
+    """64-bit mix of (xid-hash, scn, scn_idx) — the partial-rollback
+    anti-join key. Collision odds at 10^9 targeted ops ~ 10^18/2^64 ≈ 5e-2…
+    per full corpus pair-space, but the join is membership (not pairing), so
+    a false positive needs a colliding DML row in the SAME stream: ~n·m/2^64."""
+    return (xid_h ^ (scn.astype(np.uint64) * _MIX1)
+            ^ ((scn_idx.astype(np.int64).astype(np.uint64) + np.uint64(1)) * _MIX2))
 
 #: columns the decode pass reads (no ``before`` image — apply never needs it)
 EVENT_COLUMNS = ["scn", "scn_idx", "xid", "op", "conv_id", "turn_idx",
@@ -55,6 +69,9 @@ class ControlInfo:
     max_commit_scn: int           # high-water mark of this input (watermark)
     shard_watermarks: dict[int, int]  # shard → max control scn seen (RAC analog)
     max_txn_span: int = 0         # max (commit_scn - begin_scn) observed
+    #: sorted mixed keys of PR-undone ops — the partial-rollback anti-join
+    #: set (reference: rollbackLastOp pairing, Transaction.cpp:73-148)
+    pr_sorted: "np.ndarray | None" = None
 
     @property
     def schema_version(self) -> int:
@@ -63,6 +80,14 @@ class ControlInfo:
     #: precomputed by load_control (hashing millions of xids is seconds of
     #: serial driver time — do it once, not per consumer)
     lookup_arrays: "tuple[np.ndarray, np.ndarray] | None" = None
+
+    def decode_broadcast(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(sorted xid-hashes, aligned commit_scns, sorted PR keys) — the
+        one broadcast value every decode task reads."""
+        l0, l1 = self.commit_lookup_arrays()
+        pr = self.pr_sorted if self.pr_sorted is not None \
+            else np.zeros(0, np.uint64)
+        return l0, l1, pr
 
     def commit_lookup_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         """(sorted xid-hashes, aligned commit_scns) for the broadcast
@@ -80,7 +105,7 @@ class ControlInfo:
 
 
 def _control_batch(t: pa.Table) -> pa.Table:
-    out = t.filter(pc.is_in(t["op"], value_set=pa.array(["B", "C", "DDL", "R"])))
+    out = t.filter(pc.is_in(t["op"], value_set=pa.array(["B", "C", "DDL", "R", "PR"])))
     # hash xids here, in parallel, where the strings already are — hashing
     # millions of them serially on the driver measured ~10 s per pass
     h = pd.util.hash_array(np.asarray(
@@ -93,6 +118,8 @@ def changelog_empty_control() -> pa.Table:
         "xid": pa.array([], pa.string()), "op": pa.array([], pa.string()),
         "scn": pa.array([], pa.int64()), "scn_idx": pa.array([], pa.int32()),
         "ddl": pa.array([], pa.string()), "shard": pa.array([], pa.int16()),
+        "undo_scn": pa.array([], pa.int64()),
+        "undo_scn_idx": pa.array([], pa.int32()),
     })
 
 
@@ -176,6 +203,16 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
         pos = np.clip(np.searchsorted(lookup[0], d_h), 0, len(lookup[0]) - 1)
         found = lookup[0][pos] == d_h
         ddl_scns = sorted(int(x) for x in lookup[1][pos][found])
+    # partial-rollback targets: (xid, undo_scn, undo_scn_idx) of PR rows,
+    # mixed to one sorted key array for the decode anti-join
+    pr_sorted = np.zeros(0, np.uint64)
+    if "undo_scn" in ctl.schema.names:
+        prs = ctl.filter(pc.equal(ctl["op"], "PR"))
+        if prs.num_rows:
+            pr_sorted = np.sort(mix_pr_keys(
+                prs["xid_h"].to_numpy(zero_copy_only=False),
+                prs["undo_scn"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                prs["undo_scn_idx"].cast(pa.int64()).to_numpy(zero_copy_only=False)))
     max_commit = int(pc.max(commit_map["commit_scn"]).as_py()) if commit_map.num_rows else -1
     shard_wm: dict[int, int] = {}
     if ctl.num_rows:
@@ -184,7 +221,7 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
                             per_shard["scn_max"].to_pylist()))
     info = ControlInfo(commit_map=commit_map, ddl_scns=ddl_scns,
                        max_commit_scn=max_commit, shard_watermarks=shard_wm,
-                       max_txn_span=max_txn_span)
+                       max_txn_span=max_txn_span, pr_sorted=pr_sorted)
     info.lookup_arrays = lookup
     return info
 
@@ -210,8 +247,10 @@ class CommitResolver:
                  skip_xids: tuple[str, ...] = (),
                  conv_regex: str | None = None,
                  condition: str | None = None):
-        self._commit_hashes, self._commit_scns = (
-            ray.get(commit_ref) if commit_ref is not None else (None, None))
+        bc = ray.get(commit_ref) if commit_ref is not None else (None, None, None)
+        if len(bc) == 2:   # tests may broadcast the bare commit lookup
+            bc = (*bc, None)
+        self._commit_hashes, self._commit_scns, self._pr_sorted = bc
         self.num_partitions = num_partitions
         self.hot: frozenset = ray.get(hot_ref) if hot_ref is not None else frozenset()
         self.salt_block = salt_block
@@ -249,6 +288,23 @@ class CommitResolver:
         # batch, which measured 16× the probe cost (see git history).
         xid_h = pd.util.hash_array(
             np.asarray(dml["xid"].to_numpy(zero_copy_only=False), dtype=object))
+        # partial-rollback anti-join: drop DML ops named by a PR undo vector
+        # (reference: rollbackLastOp removing the op from the txn buffer,
+        # /root/reference/src/parser/Transaction.cpp:73-148)
+        if self._pr_sorted is not None and len(self._pr_sorted):
+            keys = mix_pr_keys(
+                xid_h,
+                dml["scn"].to_numpy(zero_copy_only=False),
+                dml["scn_idx"].to_numpy(zero_copy_only=False))
+            ppos = np.clip(np.searchsorted(self._pr_sorted, keys), 0,
+                           len(self._pr_sorted) - 1)
+            undone = self._pr_sorted[ppos] == keys
+            if undone.any():
+                sel = pa.array(np.flatnonzero(~undone))
+                dml = dml.take(sel)
+                xid_h = xid_h[~undone]
+                if dml.num_rows == 0:
+                    return self._empty()
         pos = np.searchsorted(self._commit_hashes, xid_h)
         pos = np.clip(pos, 0, len(self._commit_hashes) - 1)
         found = self._commit_hashes[pos] == xid_h

@@ -68,3 +68,34 @@ def test_no_ddl_narrow_schema():
     exp = apply_naive(full).sort_by(
         [("conv_id", "ascending"), ("turn_idx", "ascending")])
     assert got.cast(exp.schema).equals(exp)
+
+
+def test_partial_rollback_drops_only_undone_ops():
+    """Savepoint rollback (reference 0x0506): PR-targeted ops vanish, the
+    rest of the same txn commits (Transaction.cpp:73-148)."""
+    import numpy as np
+
+    cfg = GenConfig(scale=0.001, partial_rollback_frac=0.2)
+    d = ensure_changelog(cfg)
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    ops = full["op"].to_pylist()
+    assert "PR" in ops, "generator must emit PR records at this frac"
+    # every PR names an existing DML op of the same txn
+    import pandas as pd
+    df = full.select(["xid", "op", "scn", "scn_idx", "undo_scn",
+                      "undo_scn_idx"]).to_pandas()
+    pr = df[df.op == "PR"]
+    dml_keys = set(zip(df[df.op.isin(["I", "U"])]["xid"],
+                       df[df.op.isin(["I", "U"])]["scn"],
+                       df[df.op.isin(["I", "U"])]["scn_idx"]))
+    for r in pr.itertuples():
+        assert (r.xid, int(r.undo_scn), int(r.undo_scn_idx)) in dml_keys
+    # distributed replay == naive oracle (which drops PR-targeted ops)
+    _check(cfg, ReplayConfig(num_partitions=16))
+    # and the PR stream is non-trivial: state differs from ignoring PRs
+    no_pr = full.filter(pa.compute.invert(
+        pa.compute.equal(full["op"], "PR")))
+    wrong = apply_naive(no_pr.drop_columns(["undo_scn", "undo_scn_idx"]))
+    right = apply_naive(full)
+    assert not wrong.equals(right)
