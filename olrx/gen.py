@@ -70,6 +70,12 @@ class GenConfig:
     open_txns: int = 2             # dangling txns at end-of-stream
     n_shards: int = 2
     segments_per_shard: int = 4
+    n_tables: int = 1              # multi-table stream: conversations are
+                                   # spread over t0..t{n-1}; >1 also plants
+                                   # "twin" rows — the SAME (conv_id,
+                                   # turn_idx) key living in two tables with
+                                   # different payloads (the engine must key
+                                   # state on (table, conv, turn))
     hot_conv_factor: int = 0       # conv 0 gets factor*avg_turns turns (skew)
     partial_images: bool = False   # True → U events carry only changed columns
     ddl: bool = True               # emit the add-column DDL mid-stream
@@ -198,6 +204,8 @@ def generate(cfg: GenConfig) -> GenResult:
         "op": op, "txn": ev_txn, "scn": ev_scn, "scn_idx": intra.astype(np.int64),
         "shard": txn_shard[ev_txn], "committed": np.ones(total, bool),
         "commit_scn": commit_scn[ev_txn],
+        # home table of a conversation (multi-table streams)
+        "tbl": (key_conv[ev_key] % cfg.n_tables).astype(np.int16),
     }
 
     # ---- rollback + open transactions (vectorized) ------------------------
@@ -233,6 +241,7 @@ def generate(cfg: GenConfig) -> GenResult:
             "shard": ((anchor + 1)[tix] % cfg.n_shards).astype(np.int16),
             "committed": np.zeros(tot, bool), "commit_scn": np.full(tot, -1),
             "xid_arr": xids[tix],
+            "tbl": (eki % cfg.n_tables).astype(np.int16),
         })
         aux_txn_arrays.append({
             "xid": xids, "begin": end - dur,
@@ -273,6 +282,7 @@ def generate(cfg: GenConfig) -> GenResult:
             "committed": np.ones(tot, bool),
             "commit_scn": commit_scn[anchor][tix],
             "xid_arr": xid_arr,
+            "tbl": (eki % cfg.n_tables).astype(np.int16),
         })
         pr_ctl = {
             "xid": xid_arr,
@@ -282,6 +292,32 @@ def generate(cfg: GenConfig) -> GenResult:
             "undo_scn": ev_scn_pr,
             "undo_scn_idx": ev_idx_pr,
         }
+
+    # ---- cross-table twin keys (multi-table streams only) ------------------
+    # The SAME (conv_id, turn_idx) living in TWO tables with different
+    # payloads: any engine that keys state on (conv, turn) alone merges them
+    # wrongly (reference keys rows per table object,
+    # /root/reference/src/metadata/Schema.h:119-129).
+    if cfg.n_tables > 1:
+        n_twin = max(8, n_keys // 50)
+        tk = rng.integers(0, n_keys, n_twin)
+        home = (key_conv[tk] % cfg.n_tables).astype(np.int16)
+        other = ((home + 1 + rng.integers(0, cfg.n_tables - 1, n_twin))
+                 % cfg.n_tables).astype(np.int16)
+        anchor_t = rng.integers(0, n_txn, n_twin)
+        j = np.arange(n_twin)
+        extras.append({
+            "ki": key_conv[tk], "ti": key_turn[tk], "ver": 70 + j % 10,
+            "op": np.full(n_twin, "I", dtype="U3"),
+            "txn": np.full(n_twin, -1),
+            "scn": commit_scn[anchor_t] - 2,
+            "scn_idx": 650_000 + j,
+            "shard": txn_shard[anchor_t],
+            "committed": np.ones(n_twin, bool),
+            "commit_scn": commit_scn[anchor_t],
+            "xid_arr": np.char.add("x", anchor_t.astype("U9")).astype(object),
+            "tbl": other,
+        })
 
     # ---- DDL txn ----------------------------------------------------------
     ddl_scn = -1
@@ -295,6 +331,7 @@ def generate(cfg: GenConfig) -> GenResult:
         return np.concatenate(parts)
 
     ki, ti, ver = col("ki"), col("ti"), col("ver")
+    tblc = col("tbl").astype(np.int64)
     opc, scn, scn_idx = col("op"), col("scn"), col("scn_idx")
     shard, committed, ev_cscn = col("shard"), col("committed"), col("commit_scn")
     n = len(ki)
@@ -407,6 +444,10 @@ def generate(cfg: GenConfig) -> GenResult:
     all_ts = cat(ev_ts, EPOCH_US + c_scn * 1_000_000)
     all_undo_scn = cat(np.full(n, -1, np.int64), c_undo_scn)
     all_undo_idx = cat(np.full(n, -1, np.int64), c_undo_idx)
+    #: table name per event; control rows read null (last slot)
+    tbl_name_arr = pa.array([f"t{k}" for k in range(cfg.n_tables)] + [None],
+                            pa.string())
+    all_tbl = cat(tblc, np.full(nc, cfg.n_tables, np.int64))
 
     # ---- chunked assembly in redo-stream order ----------------------------
     # Arrow caps a single (string/struct) Array at 2 GiB; at bench scales the
@@ -483,6 +524,7 @@ def generate(cfg: GenConfig) -> GenResult:
             mask=pa.array(~has_before[sel]))
         sel_pa = pa.array(sel)
         tables.append(pa.table({
+            "table_name": _as_array(tbl_name_arr.take(pa.array(all_tbl[sel]))),
             "scn": pa.array(all_scn[sel], pa.int64()),
             "scn_idx": pa.array(all_idx[sel]).cast(pa.int32()),
             "seq": pa.array(seq_sorted[lo:lo + CHUNK]),

@@ -24,13 +24,15 @@ import pyarrow as pa
 from olrx import schema as S
 
 
-def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1, -1, -1)
-                ) -> pa.Table:
+def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1, -1, -1),
+                include_table: bool = False) -> pa.Table:
     """Replay a changelog table to final transcript state.
 
     ``start_watermark`` = (commit_scn, scn, scn_idx): events at or below are
     skipped (the exactly-once re-emission filter,
     /root/reference/src/metadata/Metadata.cpp:716-727).
+    ``include_table``: key state on (table_name, conv_id, turn_idx) and emit
+    the table_name column (multi-table streams).
     """
     df = changelog.to_pandas(types_mapper=None)
     commits = {r.xid: r.scn for r in df[df["op"] == "C"].itertuples()}
@@ -61,7 +63,8 @@ def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1
         if row.op == "DDL":
             schema_version = min(schema_version + 1, S.MAX_SCHEMA_VERSION)
             continue
-        key = (row.conv_id, int(row.turn_idx))
+        key = ((row.table_name, row.conv_id, int(row.turn_idx))
+               if include_table else (row.conv_id, int(row.turn_idx)))
         if row.op == "D":
             state.pop(key, None)
             continue
@@ -80,11 +83,19 @@ def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1
 
     cols = [n for n, _ in S.payload_columns(schema_version)]
     keys = sorted(state)
-    data = {
-        "conv_id": [k[0] for k in keys],
-        "turn_idx": pd.array([k[1] for k in keys], dtype="int32"),
-    }
+    if include_table:
+        data = {
+            "table_name": [k[0] for k in keys],
+            "conv_id": [k[1] for k in keys],
+            "turn_idx": pd.array([k[2] for k in keys], dtype="int32"),
+        }
+    else:
+        data = {
+            "conv_id": [k[0] for k in keys],
+            "turn_idx": pd.array([k[1] for k in keys], dtype="int32"),
+        }
     for c in cols:
         data[c] = [state[k][c] for k in keys]
     out = pa.Table.from_pydict(data)
-    return out.cast(S.transcripts_schema(schema_version))
+    return out.cast(S.transcripts_schema(schema_version,
+                                         include_table=include_table))

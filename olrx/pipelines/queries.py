@@ -296,6 +296,72 @@ FROM last WHERE rn = 1 AND op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# cdc_replay_multitable / cdc_replay_tablefilter — §2.3/§2.6 multi-table
+# ---------------------------------------------------------------------------
+
+def _multitable_paths(sf_dir: str) -> tuple[list[str], str]:
+    cfg = GenConfig(scale=scale_for_sf_dir(sf_dir), n_tables=2)
+    d = ensure_changelog(cfg)
+    return sorted(glob.glob(d + "/*.parquet")), d + "/*.parquet"
+
+
+def q_cdc_replay_multitable(sf_dir: str) -> rd.Dataset:
+    """Replay a two-table stream keyed on (table_name, conv_id, turn_idx) —
+    the reference's many-tables Schema dictionary
+    (/root/reference/src/metadata/Schema.h:119-129,
+    tests/sql/inputs/multi-table.sql). The generated stream plants 'twin'
+    keys (same conv/turn in both tables) to prove table-aware state."""
+    paths, _ = _multitable_paths(sf_dir)
+    cfg = ReplayConfig(num_partitions=32, multi_table=True)
+    return replay_dataset(paths, cfg).dataset
+
+
+def _sql_multitable_replay(g: str, table_pred: str = "") -> str:
+    return f"""
+WITH commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}') WHERE op = 'C'
+), ev AS (
+  SELECT e.table_name, e.conv_id, e.turn_idx, e.op, e.scn, e.scn_idx,
+         c.commit_scn,
+         e.after.role AS role, e.after.text AS text, e.after.tool AS tool,
+         e.after.ts AS ts, e.after.tool_meta AS tool_meta
+  FROM read_parquet('{g}') e
+  JOIN commits c USING (xid)
+  WHERE e.op IN ('I','U','D'){table_pred}
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                    WHERE p.op = 'PR' AND p.xid = e.xid
+                      AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY table_name, conv_id, turn_idx
+            ORDER BY commit_scn DESC, scn DESC, scn_idx DESC) AS rn
+  FROM ev
+)
+SELECT table_name, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       role, text, tool, ts, tool_meta
+FROM last WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def sql_cdc_replay_multitable(sf_dir: str) -> str:
+    _, g = _multitable_paths(sf_dir)
+    return _sql_multitable_replay(g)
+
+
+def q_cdc_replay_tablefilter(sf_dir: str) -> rd.Dataset:
+    """Owner/table tracking filter (§2.6,
+    /root/reference/src/OpenLogReplicator.cpp:1009-1045): replay only t0."""
+    paths, _ = _multitable_paths(sf_dir)
+    cfg = ReplayConfig(num_partitions=32, multi_table=True, table_regex="^t0$")
+    return replay_dataset(paths, cfg).dataset
+
+
+def sql_cdc_replay_tablefilter(sf_dir: str) -> str:
+    _, g = _multitable_paths(sf_dir)
+    return _sql_multitable_replay(
+        g, "\n    AND regexp_matches(e.table_name, '^t0$')")
+
+
 CDC_QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_committed_events": q_cdc_committed_events,
@@ -303,6 +369,8 @@ CDC_QUERIES = {
     "cdc_shard_watermarks": q_cdc_shard_watermarks,
     "cdc_rollback_audit": q_cdc_rollback_audit,
     "cdc_replay_filtered": q_cdc_replay_filtered,
+    "cdc_replay_multitable": q_cdc_replay_multitable,
+    "cdc_replay_tablefilter": q_cdc_replay_tablefilter,
 }
 
 CDC_ORACLES = {
@@ -312,4 +380,6 @@ CDC_ORACLES = {
     "cdc_shard_watermarks": sql_cdc_shard_watermarks,
     "cdc_rollback_audit": sql_cdc_rollback_audit,
     "cdc_replay_filtered": sql_cdc_replay_filtered,
+    "cdc_replay_multitable": sql_cdc_replay_multitable,
+    "cdc_replay_tablefilter": sql_cdc_replay_tablefilter,
 }

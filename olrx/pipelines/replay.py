@@ -76,6 +76,10 @@ class ReplayConfig:
     conv_regex: str | None = None        # track only matching conv_ids
     condition: str | None = None         # row condition mini-language
     start_commit_scn: int = -1           # start position: txns with commit > this
+    #: multi-table replay (reference Schema owner/table maps, Schema.h:119-129):
+    #: key state on (table_name, conv_id, turn_idx); output carries table_name
+    multi_table: bool = False
+    table_regex: str | None = None       # owner/table tracking filter
     extra: dict = field(default_factory=dict)
 
     def safe_watermark(self, control: ControlInfo) -> int:
@@ -129,12 +133,17 @@ def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
     flt = None
     if floor >= 0:
         flt = pc.field("scn") > floor - max(0, control.max_txn_span)
-    ds = rd.read_parquet(paths, columns=EVENT_COLUMNS, filter=flt,
+    cols = list(EVENT_COLUMNS)
+    if cfg.multi_table or cfg.table_regex:
+        cols = ["table_name"] + cols
+    ds = rd.read_parquet(paths, columns=cols, filter=flt,
                          override_num_blocks=cfg.resolved_read_blocks())
     return ds.map_batches(
         make_resolver(commit_ref, cfg.num_partitions, hot_ref,
                       cfg.salt_block, floor,
-                      cfg.skip_xids, cfg.conv_regex, cfg.condition),
+                      cfg.skip_xids, cfg.conv_regex, cfg.condition,
+                      include_table=cfg.multi_table,
+                      table_regex=cfg.table_regex),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
@@ -152,7 +161,7 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
         from olrx.stages.exchange import run_actor_exchange
         refs = run_actor_exchange(events, cfg.resolved_num_appliers(), sv,
                                   compact_threshold=cfg.applier_compact_threshold,
-                                  as_refs=True)
+                                  as_refs=True, multi_table=cfg.multi_table)
         # result stays distributed: appliers return block refs, the driver
         # never concatenates the full table (VERDICT "what's wrong" #2)
         return ReplayResult(control=control, dataset=rd.from_arrow_refs(refs))
@@ -236,7 +245,10 @@ def _base_as_events(base: pa.Table, m: MF.PartitionManifest) -> pa.Table:
     incremental upserts (events > watermark win by LWW)."""
     n = base.num_rows
     payload_all = [nm for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
-    cols: dict[str, object] = {
+    cols: dict[str, object] = {}
+    if "table_name" in base.schema.names:
+        cols["table_name"] = base["table_name"]
+    cols |= {
         "conv_id": base["conv_id"],
         "turn_idx": base["turn_idx"],
         "op_code": pa.array(np.full(n, 0), pa.int8()),  # OP_I
@@ -298,7 +310,8 @@ def replay_to_lake(paths: list[str], out_dir: str,
             events, cfg.resolved_num_appliers(), sv,
             commit=dict(out_dir=out_dir, safe_watermark=safe_wm,
                         max_commit_scn=max_commit, max_txn_span=span),
-            compact_threshold=cfg.applier_compact_threshold)
+            compact_threshold=cfg.applier_compact_threshold,
+            multi_table=cfg.multi_table)
         MF.write_lake_watermark(mdir, safe_wm, sv)
         return ReplayResult(control=control, stats=stats, out_dir=out_dir)
     stats_ds = events.groupby("part").map_groups(
@@ -351,4 +364,6 @@ def read_lake(out_dir: str) -> rd.Dataset:
     ms = MF.read_all(os.path.join(out_dir, "_manifest"))
     files = [os.path.join(out_dir, rel) for m in ms.values() for rel in m.files]
     schema_version = max((m.schema_version for m in ms.values()), default=0)
-    return rd.read_parquet(files, schema=S.transcripts_schema(schema_version))
+    inc = bool(files) and "table_name" in pq.read_schema(files[0]).names
+    return rd.read_parquet(files, schema=S.transcripts_schema(
+        schema_version, include_table=inc))

@@ -50,8 +50,14 @@ def payload_columns(schema_version: int = 0) -> list[tuple[str, pa.DataType]]:
     return PAYLOAD_COLUMNS + ADDITIVE_COLUMNS[:schema_version]
 
 
-def transcripts_schema(schema_version: int = 0) -> pa.Schema:
-    return pa.schema(KEY_COLUMNS + payload_columns(schema_version))
+def transcripts_schema(schema_version: int = 0,
+                       include_table: bool = False) -> pa.Schema:
+    """Lake-table schema. ``include_table`` prepends the ``table_name`` key
+    column (multi-table replay, reference Schema dictionary tracking many
+    tables via owner/table maps, /root/reference/src/metadata/Schema.h:119-129);
+    single-table pipelines keep the historical two-column key."""
+    head = [("table_name", pa.string())] if include_table else []
+    return pa.schema(head + KEY_COLUMNS + payload_columns(schema_version))
 
 
 MAX_SCHEMA_VERSION = len(ADDITIVE_COLUMNS)
@@ -88,6 +94,7 @@ def changelog_schema(schema_version: int = MAX_SCHEMA_VERSION) -> pa.Schema:
     img = image_struct(schema_version)
     return pa.schema(
         [
+            ("table_name", pa.string()),  # owner.table analog (null on control rows)
             ("scn", pa.int64()),          # event SCN (Scn — types/Scn.h:27)
             ("scn_idx", pa.int32()),      # intra-SCN tiebreak (subScn/lwnIdx)
             ("seq", pa.int32()),          # log segment sequence within shard (Seq)

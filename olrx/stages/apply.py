@@ -39,9 +39,11 @@ def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
     Output is ``transcripts_schema(schema_version)``.
     """
     payload = [n for n, _ in S.payload_columns(schema_version)]
+    multi = "table_name" in group.column_names
     n = group.num_rows
     if n == 0:
-        return S.transcripts_schema(schema_version).empty_table()
+        return S.transcripts_schema(schema_version,
+                                    include_table=multi).empty_table()
 
     def as_np(col) -> np.ndarray:
         # ChunkedArray.to_numpy on many chunks is a slow per-chunk path
@@ -51,10 +53,14 @@ def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
             col = col.combine_chunks()
         return col.to_numpy(zero_copy_only=False)
 
-    conv_dict = pc.dictionary_encode(group["conv_id"])
-    if isinstance(conv_dict, pa.ChunkedArray):
-        conv_dict = conv_dict.combine_chunks()
-    codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    def dict_codes(col) -> np.ndarray:
+        d = pc.dictionary_encode(col)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        return d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    codes = dict_codes(group["conv_id"])
+    tcodes = dict_codes(group["table_name"]) if multi else None
     turn = as_np(group["turn_idx"]).astype(np.int64)
     cscn = as_np(group["commit_scn"]).astype(np.int64)
     scn = as_np(group["scn"]).astype(np.int64)
@@ -62,13 +68,18 @@ def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
     op = as_np(group["op_code"])
     mask = as_np(group["changed_mask"]).astype(np.int64)
 
-    order = np.lexsort((sidx, scn, cscn, turn, codes))
+    sort_keys = (sidx, scn, cscn, turn, codes) if not multi \
+        else (sidx, scn, cscn, turn, codes, tcodes)
+    order = np.lexsort(sort_keys)
     codes_s, turn_s = codes[order], turn[order]
     op_s, mask_s = op[order], mask[order]
 
     new_seg = np.empty(n, bool)
     new_seg[0] = True
     new_seg[1:] = (codes_s[1:] != codes_s[:-1]) | (turn_s[1:] != turn_s[:-1])
+    if multi:
+        tcodes_s = tcodes[order]
+        new_seg[1:] |= tcodes_s[1:] != tcodes_s[:-1]
     seg_starts = np.flatnonzero(new_seg)
 
     idx = np.arange(n, dtype=np.int64)
@@ -84,10 +95,13 @@ def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
     keep = np.flatnonzero(exists)
     key_global = order[seg_starts[keep]]              # one row per kept key
     key_take = pa.array(key_global)
-    out_cols: dict[str, object] = {
+    out_cols: dict[str, object] = {}
+    if multi:
+        out_cols["table_name"] = group["table_name"].take(key_take)
+    out_cols.update({
         "conv_id": group["conv_id"].take(key_take),
         "turn_idx": group["turn_idx"].take(key_take).cast(pa.int32()),
-    }
+    })
 
     for bit, name in enumerate([nm for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]):
         if name not in payload:
@@ -106,7 +120,7 @@ def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
         out_cols[name] = vals
 
     out = pa.table(out_cols)
-    return out.cast(S.transcripts_schema(schema_version))
+    return out.cast(S.transcripts_schema(schema_version, include_table=multi))
 
 
 def compact_events(group: pa.Table) -> pa.Table:
@@ -127,10 +141,15 @@ def compact_events(group: pa.Table) -> pa.Table:
             col = col.combine_chunks()
         return col.to_numpy(zero_copy_only=False)
 
-    conv_dict = pc.dictionary_encode(group["conv_id"])
-    if isinstance(conv_dict, pa.ChunkedArray):
-        conv_dict = conv_dict.combine_chunks()
-    codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    multi = "table_name" in group.column_names
+
+    def dict_codes(col) -> np.ndarray:
+        d = pc.dictionary_encode(col)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        return d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    codes = dict_codes(group["conv_id"])
     turn = as_np(group["turn_idx"]).astype(np.int64)
     cscn = as_np(group["commit_scn"]).astype(np.int64)
     scn = as_np(group["scn"]).astype(np.int64)
@@ -138,12 +157,19 @@ def compact_events(group: pa.Table) -> pa.Table:
     op = as_np(group["op_code"])
     mask = as_np(group["changed_mask"]).astype(np.int64)
 
-    order = np.lexsort((sidx, scn, cscn, turn, codes))
+    sort_keys = (sidx, scn, cscn, turn, codes)
+    if multi:
+        tcodes = dict_codes(group["table_name"])
+        sort_keys = sort_keys + (tcodes,)
+    order = np.lexsort(sort_keys)
     codes_s, turn_s = codes[order], turn[order]
     op_s, mask_s = op[order], mask[order]
     new_seg = np.empty(n, bool)
     new_seg[0] = True
     new_seg[1:] = (codes_s[1:] != codes_s[:-1]) | (turn_s[1:] != turn_s[:-1])
+    if multi:
+        tcodes_s = tcodes[order]
+        new_seg[1:] |= tcodes_s[1:] != tcodes_s[:-1]
     seg_starts = np.flatnonzero(new_seg)
     idx = np.arange(n, dtype=np.int64)
 

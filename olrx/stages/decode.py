@@ -246,7 +246,9 @@ class CommitResolver:
                  min_commit_scn_excl: int = -1,
                  skip_xids: tuple[str, ...] = (),
                  conv_regex: str | None = None,
-                 condition: str | None = None):
+                 condition: str | None = None,
+                 include_table: bool = False,
+                 table_regex: str | None = None):
         bc = ray.get(commit_ref) if commit_ref is not None else (None, None, None)
         if len(bc) == 2:   # tests may broadcast the bare commit lookup
             bc = (*bc, None)
@@ -261,6 +263,11 @@ class CommitResolver:
         # (/root/reference/src/common/expression/Expression.cpp)
         self.skip_xids = pa.array(list(skip_xids)) if skip_xids else None
         self.conv_regex = conv_regex
+        # multi-table mode: carry table identity through decode → apply;
+        # table_regex is the owner/table tracking filter
+        # (/root/reference/src/OpenLogReplicator.cpp:1009-1045)
+        self.include_table = include_table
+        self.table_regex = table_regex
         if condition:
             from olrx.functions.condition import Condition
             self.condition = Condition(condition)
@@ -271,6 +278,9 @@ class CommitResolver:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         dml = batch.filter(pc.is_in(batch["op"], value_set=pa.array(["I", "U", "D"])))
+        if dml.num_rows and self.table_regex:
+            dml = dml.filter(pc.match_substring_regex(dml["table_name"],
+                                                      self.table_regex))
         if dml.num_rows and self.skip_xids is not None:
             dml = dml.filter(pc.invert(pc.is_in(dml["xid"], value_set=self.skip_xids)))
         if dml.num_rows and self.conv_regex:
@@ -325,7 +335,10 @@ class CommitResolver:
         op_code = np.full(len(op_str), OP_U, np.int8)
         op_code[op_str == "I"] = OP_I
         op_code[op_str == "D"] = OP_D
-        cols: dict[str, object] = {
+        cols: dict[str, object] = {}
+        if self.include_table:
+            cols["table_name"] = dml["table_name"]
+        cols.update({
             "conv_id": dml["conv_id"],
             "turn_idx": dml["turn_idx"],
             "op_code": pa.array(op_code, pa.int8()),
@@ -333,19 +346,21 @@ class CommitResolver:
             "scn": dml["scn"],
             "scn_idx": dml["scn_idx"],
             "changed_mask": dml["changed_mask"],
-        }
+        })
         for name, typ in zip(self.payload_cols, self.payload_types):
             if name in present:
                 cols[f"v_{name}"] = pc.struct_field(after, name)
             else:  # narrower pre-DDL segment schema: additive column reads null
                 cols[f"v_{name}"] = pa.nulls(dml.num_rows, typ)
         part = partition_ids(dml["conv_id"], dml["turn_idx"],
-                             self.num_partitions, self.hot, self.salt_block)
+                             self.num_partitions, self.hot, self.salt_block,
+                             table=dml["table_name"] if self.include_table else None)
         cols["part"] = pa.array(part, pa.int32())
         return pa.table(cols)
 
     def _empty(self) -> pa.Table:
-        fields = [
+        fields = ([("table_name", pa.string())] if self.include_table else [])
+        fields += [
             ("conv_id", pa.string()), ("turn_idx", pa.int32()),
             ("op_code", pa.int8()), ("commit_scn", pa.int64()),
             ("scn", pa.int64()), ("scn_idx", pa.int32()),
@@ -368,7 +383,8 @@ def tune_worker_threads() -> None:
 def make_resolver(commit_ref, num_partitions: int, hot_ref=None,
                   salt_block: int = 64, min_commit_scn_excl: int = -1,
                   skip_xids: tuple[str, ...] = (), conv_regex: str | None = None,
-                  condition: str | None = None):
+                  condition: str | None = None, include_table: bool = False,
+                  table_regex: str | None = None):
     """Stateless decode fn for `map_batches`. The resolver object is built
     lazily once per worker process and cached — `ray.get` on the broadcast
     refs is a zero-copy shared-memory read, so there is no per-batch cost
@@ -379,7 +395,8 @@ def make_resolver(commit_ref, num_partitions: int, hot_ref=None,
         if not holder:
             holder.append(CommitResolver(commit_ref, num_partitions, hot_ref,
                                          salt_block, min_commit_scn_excl,
-                                         skip_xids, conv_regex, condition))
+                                         skip_xids, conv_regex, condition,
+                                         include_table, table_regex))
         return holder[0](batch)
 
     return fn

@@ -39,10 +39,12 @@ class PartitionApplier:
 
     def __init__(self, applier_id: int, num_appliers: int,
                  schema_version: int,
-                 compact_threshold: int = 0) -> None:
+                 compact_threshold: int = 0,
+                 multi_table: bool = False) -> None:
         self.applier_id = applier_id
         self.num_appliers = num_appliers
         self.schema_version = schema_version
+        self.multi_table = multi_table
         self.shards: list[pa.Table] = []
         self.buffered_rows = 0
         #: opt-in memory guard (0 = off): once buffered events exceed this,
@@ -75,7 +77,8 @@ class PartitionApplier:
         partition-exact."""
         if not self.shards:
             from olrx import schema as S
-            return S.transcripts_schema(self.schema_version).empty_table()
+            return S.transcripts_schema(
+                self.schema_version, include_table=self.multi_table).empty_table()
         all_events = pa.concat_tables(self.shards, promote_options="default")
         self.shards = []
         return merge_apply(all_events, self.schema_version)
@@ -135,7 +138,8 @@ def make_router(appliers: list, num_appliers: int):
 def run_actor_exchange(events, num_appliers: int, schema_version: int,
                        commit: dict | None = None,
                        compact_threshold: int = 0,
-                       as_refs: bool = False):
+                       as_refs: bool = False,
+                       multi_table: bool = False):
     """Drive the routed stream and finalize.
 
     ``commit=None`` → final transcript rows: a list of per-applier Arrow
@@ -145,7 +149,7 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
     (small: one row per partition).
     """
     appliers = [PartitionApplier.remote(a, num_appliers, schema_version,
-                                        compact_threshold)
+                                        compact_threshold, multi_table)
                 for a in range(num_appliers)]
     routed = events.map_batches(make_router(appliers, num_appliers),
                                 batch_format="pyarrow")

@@ -34,10 +34,16 @@ def _stable_hash(strings: np.ndarray) -> np.ndarray:
 
 
 def partition_ids(conv_id, turn_idx, num_partitions: int,
-                  hot: frozenset = frozenset(), salt_block: int = 64) -> np.ndarray:
-    """Vectorized partition id for each row; hot conv_ids are turn-salted."""
+                  hot: frozenset = frozenset(), salt_block: int = 64,
+                  table=None) -> np.ndarray:
+    """Vectorized partition id for each row; hot conv_ids are turn-salted.
+    ``table`` (multi-table streams) mixes the table identity into the hash so
+    the same conv_id in two tables co-locates per (table, conv)."""
     conv = np.asarray(conv_id.to_numpy(zero_copy_only=False), dtype=object)
     h = _stable_hash(conv)
+    if table is not None:
+        h = h ^ (_stable_hash(np.asarray(table.to_numpy(zero_copy_only=False),
+                                         dtype=object)) * _SALT_MULT)
     if hot:
         hot_mask = np.isin(conv, list(hot))
         if hot_mask.any():

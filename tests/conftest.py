@@ -50,5 +50,8 @@ def sorted_table(obj, schema=None) -> pa.Table:
         obj = pa.Table.from_pandas(obj.to_pandas(), preserve_index=False)
     elif isinstance(obj, pd.DataFrame):
         obj = pa.Table.from_pandas(obj, preserve_index=False)
-    t = obj.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    keys = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    if "table_name" in obj.schema.names:
+        keys = [("table_name", "ascending")] + keys
+    t = obj.sort_by(keys)
     return t.cast(schema) if schema is not None else t

@@ -99,3 +99,35 @@ def test_partial_rollback_drops_only_undone_ops():
     wrong = apply_naive(no_pr.drop_columns(["undo_scn", "undo_scn_idx"]))
     right = apply_naive(full)
     assert not wrong.equals(right)
+
+
+def test_multitable_twin_keys_stay_separate(tmp_path):
+    """Two-table stream with twin (conv, turn) keys in both tables: replay
+    keys state per (table, conv, turn) (Schema.h:119-129 analog), in both
+    dataset and lake mode."""
+    cfg = GenConfig(scale=0.001, n_tables=2)
+    d = ensure_changelog(cfg)
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    from olrx.oracle import apply_naive as nv
+    exp = nv(full, include_table=True).sort_by(
+        [("table_name", "ascending"), ("conv_id", "ascending"),
+         ("turn_idx", "ascending")])
+    # the stream really contains twin keys (same conv/turn, two tables)
+    import pandas as pd
+    kdf = exp.select(["table_name", "conv_id", "turn_idx"]).to_pandas()
+    dupes = kdf.duplicated(subset=["conv_id", "turn_idx"], keep=False)
+    assert dupes.any(), "generator must plant twin keys across tables"
+    rcfg = ReplayConfig(num_partitions=16, multi_table=True)
+    got = sorted_table(replay_dataset(paths, rcfg).dataset, exp.schema)
+    assert got.equals(exp)
+    # lake mode round-trip
+    from olrx.pipelines.replay import read_lake, replay_to_lake
+    out = str(tmp_path / "mt_lake")
+    replay_to_lake(paths, out, rcfg, resume=False)
+    lk = sorted_table(read_lake(out), exp.schema)
+    assert lk.equals(exp)
+    # table filter: only t0 rows
+    fcfg = ReplayConfig(num_partitions=16, multi_table=True, table_regex="^t0$")
+    got0 = replay_dataset(paths, fcfg).dataset.to_pandas()
+    assert set(got0["table_name"]) == {"t0"}
