@@ -383,3 +383,76 @@ CDC_ORACLES = {
     "cdc_replay_multitable": sql_cdc_replay_multitable,
     "cdc_replay_tablefilter": sql_cdc_replay_tablefilter,
 }
+
+
+# ---------------------------------------------------------------------------
+# cdc_message_stream — BuilderJson envelope fidelity (§2.2/§2.7)
+# ---------------------------------------------------------------------------
+
+def q_cdc_message_stream(sf_dir: str) -> pa.Table:
+    """Envelope counts of the reference-shaped message stream: one row with
+    begins/commits (= #committed txns), per-op DML messages, ddl and chkpt
+    records (golden shape:
+    /root/reference/tests/fixtures/expected/example-free-23/output.json)."""
+    from olrx.pipelines.emit import message_stream
+
+    paths = changelog_paths_for(sf_dir)
+    ds = message_stream(paths, _replay_cfg())
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        ops = t["msg"].to_pandas().str.extract(r'"op": "(\w+)"')[0]
+        vc = ops.value_counts()
+        return pa.table({"mop": pa.array(vc.index.astype(object), pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("mop").aggregate(Sum("n", alias_name="n"))).to_pandas()
+    counts = dict(zip(agg["mop"], agg["n"]))
+    return pa.table({k: pa.array([int(counts.get(v, 0))], pa.int64())
+                     for k, v in [("n_begin", "begin"), ("n_insert_msg", "c"),
+                                  ("n_update_msg", "u"), ("n_delete_msg", "d"),
+                                  ("n_commit", "commit"), ("n_ddl", "ddl"),
+                                  ("n_chkpt", "chkpt")]})
+
+
+def sql_cdc_message_stream(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    return f"""
+WITH commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}') WHERE op = 'C'
+), sp AS (
+  SELECT greatest(1, CAST(max(commit_scn) AS BIGINT) // 64 + 1) AS span
+  FROM commits
+), dml AS (
+  SELECT e.xid, e.op FROM read_parquet('{g}') e
+  JOIN commits c USING (xid)
+  WHERE e.op IN ('I','U','D')
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                    WHERE p.op = 'PR' AND p.xid = e.xid
+                      AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
+), active AS (
+  -- reference emits begin lazily on the txn's first output message
+  -- (BuilderJson newTran flag), so empty txns produce no envelope
+  SELECT DISTINCT xid FROM dml
+  UNION
+  SELECT DISTINCT e.xid FROM read_parquet('{g}') e
+  JOIN commits c USING (xid) WHERE e.op = 'DDL'
+), active_commits AS (
+  SELECT c.xid, c.commit_scn FROM commits c JOIN active a USING (xid)
+)
+SELECT (SELECT count(*) FROM active_commits) AS n_begin,
+       (SELECT count(*) FROM dml WHERE op = 'I') AS n_insert_msg,
+       (SELECT count(*) FROM dml WHERE op = 'U') AS n_update_msg,
+       (SELECT count(*) FROM dml WHERE op = 'D') AS n_delete_msg,
+       (SELECT count(*) FROM active_commits) AS n_commit,
+       (SELECT count(*) FROM read_parquet('{g}') e JOIN commits c USING (xid)
+        WHERE e.op = 'DDL') AS n_ddl,
+       (SELECT count(DISTINCT commit_scn // (SELECT span FROM sp))
+        FROM active_commits) AS n_chkpt
+"""
+
+
+CDC_QUERIES["cdc_message_stream"] = q_cdc_message_stream
+CDC_ORACLES["cdc_message_stream"] = sql_cdc_message_stream

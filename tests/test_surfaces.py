@@ -56,12 +56,11 @@ def test_message_stream_order_and_shape(gen_small):
     assert len(df) > 0
     # within each bucket the stream is commit-ordered
     for _, g in df.groupby("scn_bucket"):
-        key = list(zip(g["c_scn"], g["scn"], g["c_idx"]))
+        key = list(zip(g["c_scn"], g["order_idx"]))
         assert key == sorted(key)
     msg = json.loads(df.iloc[0]["msg"])
-    assert {"c_scn", "scn", "c_idx", "payload"} <= set(msg)
-    assert msg["payload"][0]["op"] in ("i", "u", "d")
-    assert "after" in msg["payload"][0]
+    assert {"c_scn", "c_idx", "payload"} <= set(msg)
+    assert msg["payload"][0]["op"] == "begin"   # every txn opens with begin
 
 
 def test_job_spec_validation(tmp_path):
@@ -74,3 +73,45 @@ def test_job_spec_validation(tmp_path):
                  "target": {"uri": str(tmp_path)}, "mode": "stream"})
     with pytest.raises(ValueError, match="target.uri"):
         run_job({"source": {"paths": [__file__]}, "target": {}})
+
+
+def test_message_stream_envelope_shape(tmp_path):
+    """Reference-shaped envelopes (example-free-23/output.json): begin/commit
+    bracket each txn, u/d carry before images, i/u carry after, chkpt closes
+    buckets."""
+    import glob
+    import json
+
+    from olrx.gen import GenConfig, ensure_changelog
+    from olrx.pipelines.emit import message_stream
+    from olrx.pipelines.replay import ReplayConfig
+
+    d = ensure_changelog(GenConfig(scale=0.001, partial_images=True))
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    msgs = [json.loads(m) for m in
+            message_stream(paths, ReplayConfig()).to_pandas()["msg"]]
+    ops = [m["payload"][0]["op"] for m in msgs]
+    assert ops.count("begin") == ops.count("commit") > 0
+    assert ops.count("chkpt") > 0
+    assert ops.count("ddl") == 1
+    saw_u_before = saw_d_before = False
+    for m in msgs:
+        p = m["payload"][0]
+        if p["op"] in ("c", "u", "d"):
+            assert "schema" in p and "rid" in p
+        if p["op"] == "u":
+            assert "before" in p and "after" in p
+            saw_u_before = True
+        if p["op"] == "d":
+            assert "before" in p and "after" not in p
+            saw_d_before = True
+        if p["op"] == "c":
+            assert "after" in p and "before" not in p
+    assert saw_u_before and saw_d_before
+    # begin/commit bracket per xid within the ordered stream
+    by_xid = {}
+    for m in msgs:
+        if "xid" in m:
+            by_xid.setdefault(m["xid"], []).append(m["payload"][0]["op"])
+    for xid, seq in by_xid.items():
+        assert seq[0] == "begin" and seq[-1] == "commit", (xid, seq[:3])
