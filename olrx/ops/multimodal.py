@@ -80,13 +80,33 @@ class MediaFeatureExtractor:
         self.n_features = n_features
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"].to_pylist()
-        feats = np.zeros((len(payloads), self.n_features), np.float32)
-        for i, b in enumerate(payloads):
-            arr = np.frombuffer(b, np.uint8)
-            # deterministic fake: moments over byte stripes ≈ "channel stats"
-            stripes = np.array_split(arr.astype(np.float32), self.n_features)
-            feats[i] = [s.mean() / 255.0 if len(s) else 0.0 for s in stripes]
+        # zero-copy view of the whole batch's payload bytes + offsets —
+        # per-stripe means via one cumsum and gathered prefix differences
+        # (no per-row Python loop; VERDICT r1 #7)
+        col = batch["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        buf = np.frombuffer(col.buffers()[2], np.uint8)
+        offs = np.frombuffer(col.buffers()[1], np.int64, n + 1) + col.offset
+        feats = np.zeros((n, self.n_features), np.float32)
+        if len(buf):
+            csum = np.zeros(len(buf) + 1, np.float64)
+            np.cumsum(buf, out=csum[1:])
+            lens = offs[1:] - offs[:-1]
+            # np.array_split semantics: the remainder spreads over the FIRST
+            # (len % F) stripes
+            F = self.n_features
+            s = np.arange(F + 1)
+            q, r = np.divmod(lens, F)
+            sizes = q[:, None] + (s[None, :-1] < r[:, None])
+            bounds = offs[:-1, None] + np.concatenate(
+                [np.zeros((n, 1), np.int64), np.cumsum(sizes, axis=1)], axis=1)
+            sums = csum[bounds[:, 1:]] - csum[bounds[:, :-1]]
+            cnt = (bounds[:, 1:] - bounds[:, :-1])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                feats = np.where(cnt > 0, sums / np.maximum(cnt, 1) / 255.0,
+                                 0.0).astype(np.float32)
         return pa.table({
             "media_id": batch["media_id"],
             "kind": batch["kind"],

@@ -456,3 +456,138 @@ SELECT (SELECT count(*) FROM active_commits) AS n_begin,
 
 CDC_QUERIES["cdc_message_stream"] = q_cdc_message_stream
 CDC_ORACLES["cdc_message_stream"] = sql_cdc_message_stream
+
+
+# ---------------------------------------------------------------------------
+# cdc_replay_startpos / cdc_dump_xid / cdc_replay_txncap — §2.6 extras
+# ---------------------------------------------------------------------------
+
+def _startpos_param(sf_dir: str) -> int:
+    """Deterministic start-time parameter (epoch µs): the 30th-percentile
+    commit timestamp — shared by the Ray query and the SQL oracle."""
+    import pyarrow.dataset as pads
+    paths = changelog_paths_for(sf_dir)
+    t = pads.dataset(paths, format="parquet").to_table(
+        columns=["ts"], filter=(pc.field("op") == "C"))
+    ts = np.sort(t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+    return int(ts[(len(ts) * 3) // 10])
+
+
+def q_cdc_replay_startpos(sf_dir: str) -> rd.Dataset:
+    """Start-time position (reference OpenLogReplicator.cpp:533-558): replay
+    only transactions whose commit timestamp ≥ the start time."""
+    paths = changelog_paths_for(sf_dir)
+    cfg = ReplayConfig(num_partitions=32, start_time_us=_startpos_param(sf_dir))
+    return replay_dataset(paths, cfg).dataset
+
+
+def sql_cdc_replay_startpos(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    us = _startpos_param(sf_dir)
+    return f"""
+WITH commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}')
+  WHERE op = 'C' AND ts >= make_timestamp({us})
+), ev AS (
+  SELECT e.conv_id, e.turn_idx, e.op, e.scn, e.scn_idx, c.commit_scn,
+         e.after.role AS role, e.after.text AS text, e.after.tool AS tool,
+         e.after.ts AS ts, e.after.tool_meta AS tool_meta
+  FROM read_parquet('{g}') e
+  JOIN commits c USING (xid)
+  WHERE e.op IN ('I','U','D')
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                    WHERE p.op = 'PR' AND p.xid = e.xid
+                      AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY commit_scn DESC, scn DESC, scn_idx DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts, tool_meta
+FROM last WHERE rn = 1 AND op <> 'D'
+"""
+
+
+_DUMP_XIDS = ("x10", "x11", "rb0000")
+
+
+def q_cdc_dump_xid(sf_dir: str) -> rd.Dataset:
+    """dump-xid debug path (reference TransactionBuffer.h:87-88 dump list):
+    every stream record of the named transactions, fully projected."""
+    paths = changelog_paths_for(sf_dir)
+    flt = pc.field("xid").isin(list(_DUMP_XIDS))
+    ds = rd.read_parquet(paths,
+                         columns=["xid", "op", "scn", "scn_idx", "shard",
+                                  "conv_id", "turn_idx", "after", "ddl"],
+                         filter=flt)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        after = t["after"]
+        if isinstance(after, pa.ChunkedArray):
+            after = after.combine_chunks()
+        return pa.table({
+            "xid": t["xid"], "op": t["op"], "scn": t["scn"],
+            "scn_idx": t["scn_idx"].cast(pa.int32()),
+            "shard": t["shard"].cast(pa.int16()),
+            "conv_id": t["conv_id"], "turn_idx": t["turn_idx"].cast(pa.int32()),
+            "text": pc.struct_field(after, "text"),
+            "ddl": t["ddl"],
+        })
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def sql_cdc_dump_xid(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    lst = ", ".join(f"'{x}'" for x in _DUMP_XIDS)
+    return f"""
+SELECT xid, op, scn, CAST(scn_idx AS INTEGER) AS scn_idx, shard,
+       conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       after.text AS text, ddl
+FROM read_parquet('{g}') WHERE xid IN ({lst})
+"""
+
+
+def q_cdc_replay_txncap(sf_dir: str, cap: int = 20) -> rd.Dataset:
+    """Big-transaction guard (reference transaction-max-mb,
+    Transaction.cpp:519-538): txns with more than ``cap`` DML events in the
+    stream are dropped entirely."""
+    paths = changelog_paths_for(sf_dir)
+    cfg = ReplayConfig(num_partitions=32, txn_max_events=cap)
+    return replay_dataset(paths, cfg).dataset
+
+
+def sql_cdc_replay_txncap(sf_dir: str, cap: int = 20) -> str:
+    g = _glob_sql(sf_dir)
+    return f"""
+WITH big AS (
+  SELECT xid FROM read_parquet('{g}')
+  WHERE op IN ('I','U','D') GROUP BY xid HAVING count(*) > {cap}
+), commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}')
+  WHERE op = 'C' AND xid NOT IN (SELECT xid FROM big)
+), ev AS (
+  SELECT e.conv_id, e.turn_idx, e.op, e.scn, e.scn_idx, c.commit_scn,
+         e.after.role AS role, e.after.text AS text, e.after.tool AS tool,
+         e.after.ts AS ts, e.after.tool_meta AS tool_meta
+  FROM read_parquet('{g}') e
+  JOIN commits c USING (xid)
+  WHERE e.op IN ('I','U','D')
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                    WHERE p.op = 'PR' AND p.xid = e.xid
+                      AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY commit_scn DESC, scn DESC, scn_idx DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts, tool_meta
+FROM last WHERE rn = 1 AND op <> 'D'
+"""
+
+
+for _n, _q, _s in [("cdc_replay_startpos", q_cdc_replay_startpos, sql_cdc_replay_startpos),
+                   ("cdc_dump_xid", q_cdc_dump_xid, sql_cdc_dump_xid),
+                   ("cdc_replay_txncap", q_cdc_replay_txncap, sql_cdc_replay_txncap)]:
+    CDC_QUERIES[_n] = _q
+    CDC_ORACLES[_n] = _s

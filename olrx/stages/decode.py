@@ -275,6 +275,11 @@ class CommitResolver:
             self.condition = None
         self.payload_cols = [n for n, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
         self.payload_types = [t for _, t in S.payload_columns(S.MAX_SCHEMA_VERSION)]
+        # bench-only probe (OLRX_TRUNCATE_TEXT=n): clip text payloads to n
+        # code units right after decode, to measure how much of the scaling
+        # gap is payload-byte DRAM traffic vs fixed/serial overhead
+        import os as _os
+        self._truncate = int(_os.environ.get("OLRX_TRUNCATE_TEXT", "0"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         dml = batch.filter(pc.is_in(batch["op"], value_set=pa.array(["I", "U", "D"])))
@@ -352,6 +357,9 @@ class CommitResolver:
                 cols[f"v_{name}"] = pc.struct_field(after, name)
             else:  # narrower pre-DDL segment schema: additive column reads null
                 cols[f"v_{name}"] = pa.nulls(dml.num_rows, typ)
+        if self._truncate:
+            cols["v_text"] = pc.utf8_slice_codeunits(cols["v_text"], 0,
+                                                     self._truncate)
         part = partition_ids(dml["conv_id"], dml["turn_idx"],
                              self.num_partitions, self.hot, self.salt_block,
                              table=dml["table_name"] if self.include_table else None)

@@ -11,25 +11,41 @@ efficiency. This module implements SURVEY §4.2's intended design instead:
 
 One plasma write per decoded batch; appliers read shards zero-copy. Each
 `(conv_id, turn_idx)` key lands on exactly one applier (hash partition), the
-partitioning assumption merge-apply needs. Routing tasks `ray.get` their
-acks per batch, so Ray Data's backpressure extends through the actors; the
-driver's `finalize` runs after the routed stream is fully consumed (actor
-mailboxes are FIFO per submitter, and every add was acked before the stream
-finished).
+partitioning assumption merge-apply needs.
 
-Memory: an applier holds its partitions' decoded events until finalize —
-size = events/num_appliers. For inputs where that exceeds worker heaps,
-raise num_appliers (cluster mode: appliers spread across nodes) or fall
-back to the sort exchange (`ReplayConfig.exchange="groupby"`).
+Flow control (r2): routing is WINDOWED-async — each router worker keeps up
+to ``ACK_WINDOW`` outstanding `add` acks before waiting, so applier-side
+work (notably incremental compaction) overlaps routing instead of
+serializing behind it. Completion is fenced by COUNT, not by acks: routers
+report how many shards they shipped (their map output), and the driver
+polls the appliers until the received total matches — only then does
+finalize start. Ray Data worker processes outlive their tasks (idle pool),
+so submitted-but-unacked actor calls are still delivered; the fence makes
+that delivery observable. A retried router block re-ships its shards;
+duplicate events are harmless to the LWW merge (same winner) — the fence
+counts only COMPLETED router tasks' shards, so the total is exact.
+
+Memory: compaction (``compact_threshold`` rows, ON by default via
+ReplayConfig) folds an applier's buffered events to the per-key winner set
+(a proven semigroup — tests/test_property.py), keeping applier state
+O(#keys) however long the stream is — the TransactionBuffer big-txn swap
+analog (/root/reference/src/common/MemoryManager.cpp:197-260).
 """
 
 from __future__ import annotations
+
+import time
 
 import numpy as np
 import pyarrow as pa
 import ray
 
 from olrx.stages.apply import compact_events, merge_apply
+
+#: outstanding un-acked `add` calls per router worker before it waits.
+#: Small enough to bound in-flight plasma bytes (window × batch bytes),
+#: large enough that applier compaction overlaps routing.
+ACK_WINDOW = 8
 
 
 @ray.remote
@@ -47,12 +63,11 @@ class PartitionApplier:
         self.multi_table = multi_table
         self.shards: list[pa.Table] = []
         self.buffered_rows = 0
-        #: opt-in memory guard (0 = off): once buffered events exceed this,
-        #: fold them into the per-key winner set (compact_events) — applier
-        #: state stays O(#keys) however long the stream is. Compaction runs
-        #: on the actor's serial path and routing acks wait on it, so enable
-        #: it only when a partition's share would outgrow the node's heap
-        #: (the TransactionBuffer swap analog, MemoryManager.cpp:197-260)
+        self.shards_received = 0
+        #: memory guard (0 = off): once buffered events exceed this, fold
+        #: them into the per-key winner set (compact_events) — applier state
+        #: stays O(#keys) however long the stream is. Runs on the actor's
+        #: serial path, overlapped with routing by the ack window.
         self.compact_threshold = compact_threshold
         # all appliers finalize concurrently; each Arrow kernel spawning a
         # full-size internal thread pool oversubscribes the node and inflates
@@ -61,6 +76,7 @@ class PartitionApplier:
         pa.set_io_thread_count(2)
 
     def add(self, shard: pa.Table) -> int:
+        self.shards_received += 1
         if shard.num_rows:
             self.shards.append(shard)
             self.buffered_rows += shard.num_rows
@@ -70,6 +86,11 @@ class PartitionApplier:
                 self.shards = [compacted]
                 self.buffered_rows = compacted.num_rows
         return shard.num_rows
+
+    def received(self) -> int:
+        """Delivery fence: shards that have ARRIVED (mailbox order is
+        irrelevant — the driver compares the sum against the routed total)."""
+        return self.shards_received
 
     def finalize_rows(self) -> pa.Table:
         """Merge-apply all owned events; keys are globally unique across
@@ -109,11 +130,17 @@ class PartitionApplier:
         return pa.concat_tables(stats)
 
 
-def make_router(appliers: list, num_appliers: int):
+def make_router(appliers: list, num_appliers: int,
+                ack_window: int = ACK_WINDOW):
     """Stateless `map_batches` fn: split each decoded batch by applier id
-    (part % A) and ship the shards; ack before returning (backpressure)."""
+    (part % A), ship the shards async, and emit a 1-row count batch. Keeps
+    at most ``ack_window`` outstanding acks per worker (backpressure without
+    serializing behind applier-side compaction)."""
+    holder: dict = {}
 
     def route(batch: pa.Table) -> pa.Table:
+        pending: list = holder.setdefault("pending", [])
+        sent = 0
         if batch.num_rows:
             part = batch["part"].to_numpy(zero_copy_only=False)
             owner = part % num_appliers
@@ -121,18 +148,34 @@ def make_router(appliers: list, num_appliers: int):
             sorted_batch = batch.take(pa.array(order))
             owner_sorted = owner[order]
             bounds = np.searchsorted(owner_sorted, np.arange(num_appliers + 1))
-            refs = []
             for a in range(num_appliers):
                 lo, hi = bounds[a], bounds[a + 1]
                 if hi > lo:
                     # Arrow IPC truncates sliced buffers on serialization, so
                     # shipping a slice costs only its own bytes
-                    refs.append(appliers[a].add.remote(
+                    pending.append(appliers[a].add.remote(
                         sorted_batch.slice(lo, hi - lo)))
-            ray.get(refs)
-        return batch.schema.empty_table()
+                    sent += 1
+            if len(pending) > ack_window:
+                done, rest = ray.wait(pending,
+                                      num_returns=len(pending) - ack_window)
+                holder["pending"] = rest
+        return pa.table({"sent": pa.array([sent], pa.int64())})
 
     return route
+
+
+def _fence(appliers: list, sent_total: int, timeout_s: float = 600.0) -> None:
+    """Block until every routed shard has arrived at its applier."""
+    deadline = time.monotonic() + timeout_s
+    while True:
+        got = sum(ray.get([a.received.remote() for a in appliers]))
+        if got >= sent_total:
+            return
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"actor exchange fence: {got}/{sent_total} shards delivered")
+        time.sleep(0.02)
 
 
 def run_actor_exchange(events, num_appliers: int, schema_version: int,
@@ -153,7 +196,8 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
                 for a in range(num_appliers)]
     routed = events.map_batches(make_router(appliers, num_appliers),
                                 batch_format="pyarrow")
-    routed.count()  # consume the stream; all adds acked by completion
+    sent_total = int(routed.sum("sent") or 0)
+    _fence(appliers, sent_total)
     if commit is None:
         refs = [a.finalize_rows.remote() for a in appliers]
         if as_refs:
