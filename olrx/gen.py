@@ -80,6 +80,9 @@ class GenConfig:
     partial_images: bool = False   # True → U events carry only changed columns
     ddl: bool = True               # emit the add-column DDL mid-stream
     special_char_every: int = 37   # every k-th text gets a special snippet
+    gen_version: int = 2           # bump to invalidate on-disk caches when
+                                   # generator CODE changes (digest covers
+                                   # config only); v2 = rb/open xid zfill fix
 
     @property
     def n_conversations(self) -> int:
@@ -231,7 +234,10 @@ def generate(cfg: GenConfig) -> GenResult:
         eti = key_turn[pick].copy()
         eti[is_ins] = fresh_turn + np.arange(int(is_ins.sum()))
         fresh_turn += tot
-        xids = np.char.add(kind, np.char.zfill(np.arange(count).astype("U6"), 4)
+        # width must exceed the digit count: np.char.zfill TRUNCATES strings
+        # longer than the width (at scale 8 a width of 4 collided every
+        # rb xid ≥ 10000 down onto rb1000..rb9999 — gen_version 2 fix)
+        xids = np.char.add(kind, np.char.zfill(np.arange(count).astype("U9"), 9)
                            ).astype(object)
         extras.append({
             "ki": eki, "ti": eti, "ver": 90 + tix,

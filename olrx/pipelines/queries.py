@@ -508,7 +508,7 @@ FROM last WHERE rn = 1 AND op <> 'D'
 """
 
 
-_DUMP_XIDS = ("x10", "x11", "rb0000")
+_DUMP_XIDS = ("x10", "x11", "rb000000000")
 
 
 def q_cdc_dump_xid(sf_dir: str) -> rd.Dataset:
