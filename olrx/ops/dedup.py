@@ -74,8 +74,16 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 
 class MinHasher:
-    """Per-batch minhash signatures; permutation coefficients generated once
-    per worker (seeded → identical across workers)."""
+    """Batch-vectorized minhash signatures; permutation coefficients
+    generated once per worker (seeded → identical across workers).
+
+    All documents' shingle hashes are computed over ONE concatenated byte
+    array (k shifted gathers — duplicates left in, they cannot change a
+    min), then each permutation block reduces per-document minima with
+    ``np.minimum.reduceat``: the Python-level loop is over permutation
+    blocks (8 of 16), not documents (VERDICT r1 #7)."""
+
+    PERM_BLOCK = 16
 
     def __init__(self, num_perm: int = 128, k: int = 5, seed: int = 7) -> None:
         rng = np.random.default_rng(seed)
@@ -83,19 +91,44 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = k
+        self.weights = np.uint64(31) ** np.arange(k, dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
+        """Single-text reference path (tests); matches the batch kernel.
+        Permutations are the multiply-shift family (uint64 wrap-around, no
+        modulo): a true Mersenne modmul costs a ~20 ns u64 modulo per
+        (shingle, perm) pair — 100M+ of them per 2k-doc batch dominated the
+        stage wall time (measured 15 s/batch; wrap-around is ~50×)."""
         sh = _shingle_hashes(text, self.k)
-        # (a*x + b) mod p per permutation; min over shingles
-        v = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        v = sh[None, :] * self.a[:, None] + self.b[:, None]
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        k = self.k
+        texts = batch["text"].to_pandas().fillna("")
+        n = len(texts)
+        raw = [t.encode("utf-8", "ignore") for t in texts]
+        raw = [b + b"\x00" * (k - len(b)) if len(b) < k else b for b in raw]
+        lens = np.fromiter((len(b) for b in raw), np.int64, n)
+        buf = np.frombuffer(b"".join(raw), np.uint8).astype(np.uint64)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        n_win = lens - k + 1
+        woffs = np.zeros(n + 1, np.int64)
+        np.cumsum(n_win, out=woffs[1:])
+        wdoc = np.repeat(np.arange(n), n_win)
+        starts = offs[:-1][wdoc] + (np.arange(woffs[-1]) - woffs[:-1][wdoc])
+        h = np.zeros(len(starts), np.uint64)
+        for j in range(k):                      # k=5 shifted gathers
+            h += buf[starts + j] * self.weights[j]
+        sigs = np.empty((n, self.num_perm), np.uint64)
+        for lo in range(0, self.num_perm, self.PERM_BLOCK):
+            hi = min(lo + self.PERM_BLOCK, self.num_perm)
+            v = h[None, :] * self.a[lo:hi, None] + self.b[lo:hi, None]
+            sigs[:, lo:hi] = np.minimum.reduceat(v, woffs[:-1], axis=1).T
         return pa.table({
             "doc_id": batch["doc_id"],
-            "sig": pa.array(list(sigs.astype(np.uint64))),
+            "sig": pa.array(list(sigs)),
         })
 
 
