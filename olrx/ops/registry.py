@@ -48,6 +48,7 @@ OPS_ORACLES = {
     "embedding_neardup_recall": dedup.sql_embedding_neardup_recall,
     "ann_bruteforce": similarity.sql_ann_bruteforce,
     "ann_lsh": similarity.sql_ann_lsh,
+    "media_features": multimodal.sql_media_features,
     "media_stats": multimodal.sql_media_stats,
     "events_hourly": events.sql_events_hourly,
     "events_sessions": events.sql_events_sessions,

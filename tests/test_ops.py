@@ -106,9 +106,23 @@ def test_media_plumbing_deterministic():
     out1 = fx(t)
     out2 = fx(t)
     assert out1.equals(out2)
-    assert out1["features"].type == pa.list_(pa.float32())
+    assert out1.column_names == ["media_id", "kind"] + [f"f{j}" for j in range(8)]
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(decode_real=True)
+
+
+def test_media_features_match_naive_reference():
+    """Differential check: vectorized stripe-mean kernel == per-byte naive
+    loop (the same pair the driver oracle compares at sf0.01)."""
+    from olrx.ops.multimodal import (MediaFeatureExtractor, _naive_features,
+                                     ensure_media)
+
+    t = pq.read_table(ensure_media(0.001)).slice(0, 32)
+    out = MediaFeatureExtractor()(t)
+    for i in range(t.num_rows):
+        expect = _naive_features(t["payload"][i].as_py())
+        got = [out[f"f{j}"][i].as_py() for j in range(8)]
+        assert got == pytest.approx(expect, abs=1e-9), i
 
 
 def test_condition_language():
