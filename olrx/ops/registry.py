@@ -25,6 +25,8 @@ OPS_QUERIES = {
     # similarity search
     "ann_bruteforce": similarity.q_ann_bruteforce,
     "ann_lsh": similarity.q_ann_lsh,
+    "ann_ivf": similarity.q_ann_ivf,
+    "ann_ivf_recall": similarity.q_ann_ivf_recall,
     # multimodal plumbing
     "media_features": multimodal.q_media_features,
     "media_stats": multimodal.q_media_stats,
@@ -48,6 +50,8 @@ OPS_ORACLES = {
     "embedding_neardup_recall": dedup.sql_embedding_neardup_recall,
     "ann_bruteforce": similarity.sql_ann_bruteforce,
     "ann_lsh": similarity.sql_ann_lsh,
+    "ann_ivf": similarity.sql_ann_ivf,
+    "ann_ivf_recall": similarity.sql_ann_ivf_recall,
     "media_features": multimodal.sql_media_features,
     "media_stats": multimodal.sql_media_stats,
     "events_hourly": events.sql_events_hourly,

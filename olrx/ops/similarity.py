@@ -176,6 +176,166 @@ def q_ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5,
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def ivf_centroids_for(n_rows: int) -> int:
+    """Scale-aware IVF cell count: ~sqrt(N) cells (classical IVF sizing), so
+    cell population ~sqrt(N) and probed work per query is O(n_probe·sqrt(N))."""
+    import math
+    return max(8, math.isqrt(max(n_rows, 64)))
+
+
+def _first_vectors(sf_dir: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """First ``n`` vectors by vec_id via two pruned scans: the narrow id
+    column to find the cutoff, then a filtered embedding read — the driver
+    never materializes the full embedding column (at 100 TB this is a
+    row-group-pruned point read, not a table scan)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id"])["vec_id"].to_numpy()
+    n = min(n, len(ids))
+    cut = int(np.partition(ids, n - 1)[n - 1])
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pc.field("vec_id") <= cut)
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return (df["vec_id"].to_numpy(),
+            np.stack(df["embedding"].to_numpy()).astype(np.float64))
+
+
+def q_ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5,
+              n_centroids: int | None = None, n_probe: int = 4) -> pa.Table:
+    """IVF-bucketed ANN (the second scale path next to LSH): the corpus is
+    partitioned into Voronoi cells around a deterministic centroid sample
+    (the first ~sqrt(N) vectors by vec_id — IVF with data-point centroids);
+    each query probes its ``n_probe`` nearest cells and ranks exactly inside
+    them. One broadcast of the centroid matrix (`ray.put`), one vectorized
+    (batch × C) assignment matmul per batch, probed exact scoring, per-batch
+    local top-k, output-sized driver merge. Exactly mirrored by
+    `sql_ann_ivf` (same sample, same tie-breaks); `ann_ivf_recall` measures
+    its recall against the brute-force ground truth."""
+    import pyarrow.parquet as pq
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    nrows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    C = n_centroids or ivf_centroids_for(nrows)
+    _, cent = _first_vectors(sf_dir, C)
+    cent /= np.clip(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12, None)
+    # query probe set: n_probe nearest cells (ties → lower cell index, the
+    # same first-max rule np.argmax uses for assignment)
+    probes = np.argsort(-(qmat @ cent.T), axis=1, kind="stable")[:, :n_probe]
+    ref = ray.put((qids, qmat, cent, probes))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids_q, mat_q, cmat, probe = ray.get(ref)
+        vid = t["vec_id"].to_numpy()
+        raw = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        m = raw / np.clip(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12, None)
+        cell = np.argmax(m @ cmat.T, axis=1)        # Voronoi assignment
+        rows = []
+        for qi in range(len(ids_q)):
+            mask = np.isin(cell, probe[qi]) & (vid != ids_q[qi])
+            cand = np.flatnonzero(mask)
+            if not len(cand):
+                continue
+            scores = m[cand] @ mat_q[qi]
+            top = cand[np.argsort(-scores, kind="stable")[:k]]
+            rows.append(pd.DataFrame({
+                "query_id": ids_q[qi], "vec_id": vid[top],
+                "cos_sim": np.round(m[top] @ mat_q[qi], 4)}))
+        if not rows:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        return pa.Table.from_pandas(pd.concat(rows), preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    df = ds.map_batches(local_topk, batch_format="pyarrow",
+                        batch_size=4096).to_pandas()
+    if df.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cos_sim": pa.array([], pa.float64())})
+    df = df.sort_values(["query_id", "cos_sim", "vec_id"],
+                        ascending=[True, False, True], kind="stable")
+    df = df.groupby("query_id", as_index=False).head(k)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def sql_ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5,
+                n_centroids: int | None = None, n_probe: int = 4) -> str:
+    """Exact DuckDB mirror of the IVF path: same centroid sample (first C by
+    vec_id; cosine is normalization-invariant so no literals needed), same
+    assignment tie-break (best cos, then lower cell index), same probe set,
+    same output ordering."""
+    import pyarrow.parquet as pq
+
+    nrows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    C = n_centroids or ivf_centroids_for(nrows)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {C})
+), assign AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell) AS rk
+  FROM embeddings e CROSS JOIN cents c
+), cells AS (
+  SELECT vec_id, embedding, cell FROM assign WHERE rk = 1
+), qprobe AS (
+  SELECT q.query_id, q.qe, c.cell,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell) AS rk
+  FROM q CROSS JOIN cents c
+), cand AS (
+  SELECT p.query_id, v.vec_id,
+         round(list_cosine_similarity(p.qe, v.embedding), 4) AS cos_sim
+  FROM (SELECT query_id, qe, cell FROM qprobe WHERE rk <= {n_probe}) p
+  JOIN cells v ON v.cell = p.cell AND v.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cos_sim FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, vec_id) <= {k}
+"""
+
+
+def q_ann_ivf_recall(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
+    """Recall@k of the IVF path against the exact brute-force ground truth —
+    the quality bound a user sizes n_probe by. One row per query plus the
+    mean, rounded for stable comparison."""
+    exact = q_ann_bruteforce(sf_dir, n_queries, k).to_pandas()
+    ivf = q_ann_ivf(sf_dir, n_queries, k).to_pandas()
+    truth = exact.groupby("query_id")["vec_id"].apply(set)
+    got = ivf.groupby("query_id")["vec_id"].apply(set)
+    qids = sorted(truth.index)
+    rec = [round(len(truth[q] & got.get(q, set())) / max(1, len(truth[q])), 4)
+           for q in qids]
+    return pa.table({"query_id": pa.array(qids, pa.int64()),
+                     "recall_at_k": pa.array(rec, pa.float64())})
+
+
+def sql_ann_ivf_recall(sf_dir: str, n_queries: int = 8, k: int = 5) -> str:
+    bf = sql_ann_bruteforce(sf_dir, n_queries, k)
+    ivf = sql_ann_ivf(sf_dir, n_queries, k)
+    return f"""
+WITH bf AS ({bf}), ivf AS ({ivf}),
+hits AS (
+  SELECT bf.query_id,
+         count(ivf.vec_id) AS n_hit, count(*) AS n_true
+  FROM bf LEFT JOIN ivf ON ivf.query_id = bf.query_id
+                        AND ivf.vec_id = bf.vec_id
+  GROUP BY bf.query_id
+)
+SELECT query_id, round(n_hit / n_true, 4) AS recall_at_k
+FROM hits ORDER BY query_id
+"""
+
+
 def sql_ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5) -> str:
     """DuckDB mirror of the multiprobe LSH ANN: identical seeded hyperplanes
     inlined as literals, bucket + radius-1 probe set, exact cosine top-k

@@ -142,3 +142,15 @@ def test_condition_language():
         Condition("op === 'I'")
     with pytest.raises(ValueError):
         Condition("op == 'I' garbage trailing")
+
+
+def test_ann_ivf_shape_and_recall():
+    """IVF returns k hits per query; with n_probe covering a healthy share
+    of cells, mean recall vs brute force is high on the synthetic corpus."""
+    from olrx.ops.similarity import q_ann_ivf, q_ann_ivf_recall
+
+    out = q_ann_ivf(SF, n_queries=4, k=3).to_pandas()
+    assert (out.groupby("query_id").size() == 3).all()
+    rec = q_ann_ivf_recall(SF, n_queries=4, k=3).to_pandas()
+    assert len(rec) == 4
+    assert rec["recall_at_k"].mean() >= 0.5   # probe-bounded ANN, not exact
