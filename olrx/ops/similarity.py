@@ -17,24 +17,17 @@ import ray.data as rd
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic query set: the first n vec_ids (by id)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(n_queries)
-    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    q /= np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
-    return df["vec_id"].to_numpy(), q
+    """Deterministic query set: the first n vec_ids (by id), via the pruned
+    two-scan point read (never the full embedding column on the driver)."""
+    ids, q = _first_vectors(sf_dir, n_queries)
+    q = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    return ids, q
 
 
 def _load_queries_raw(sf_dir: str, n_queries: int) -> np.ndarray:
     """Unnormalized query matrix (for sign-pattern bucketing parity with the
     SQL oracle's raw-vector dot products)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(n_queries)
-    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return _first_vectors(sf_dir, n_queries)[1]
 
 
 def q_ann_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
