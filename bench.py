@@ -33,6 +33,14 @@ SCALING_SCALE = float(os.environ.get("OLRX_SCALING_SCALE", "8.0"))
 def run_bench() -> dict:
     import ray
 
+    import pyarrow as pa
+
+    # the driver simulates a node of the "cluster size" under test: pin its
+    # Arrow thread pool to the same CPU budget the Ray session gets (the
+    # default pool sizes to ALL machine cores, which would let the low-CPU
+    # scaling run do driver-side control scans at full-machine speed)
+    pa.set_cpu_count(max(2, NUM_CPUS))
+    pa.set_io_thread_count(max(2, NUM_CPUS // 2))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -75,6 +83,9 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     res = replay_to_lake(paths, out_dir, cfg, resume=False)
     headline = time.perf_counter() - t0
+    from olrx.pipelines import replay as _replay_mod
+    from olrx.stages import exchange as _exchange_mod
+    timings = dict(_replay_mod.LAST_TIMINGS) | dict(_exchange_mod.LAST_TIMINGS)
     st = res.stats.to_pandas()
     events = int(st["events"].sum())
     rows = int(st["rows"].sum())
@@ -100,6 +111,7 @@ def run_bench() -> dict:
         "events": events,
         "rows": rows,
         "events_per_sec": round(events / headline, 1) if headline > 0 else None,
+        "timings": timings,
     }
 
 
@@ -126,6 +138,8 @@ def run_scaling() -> dict:
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "cpus_lo": lo, "cpus_hi": hi, "cpu_ratio": hi / lo,
         "events_per_sec_lo": tput_lo, "events_per_sec_hi": tput_hi,
+        "timings_lo": r_lo.get("timings", {}),
+        "timings_hi": r_hi.get("timings", {}),
     }
 
 

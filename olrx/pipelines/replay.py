@@ -39,6 +39,10 @@ from olrx.stages.decode import (EVENT_COLUMNS, ControlInfo, load_control,
 from olrx.stages.partition import detect_hot_keys
 from olrx.state import manifest as MF
 
+#: phase wall times of the most recent replay_to_lake on this driver
+#: (bench/diagnostic readout; exchange phases live in stages.exchange)
+LAST_TIMINGS: dict = {}
+
 
 @dataclass
 class ReplayConfig:
@@ -362,7 +366,10 @@ def replay_to_lake(paths: list[str], out_dir: str,
     # control is always the FULL (unpruned) sidecar view: the txn-span bound
     # and schema version are recomputed from history every run — a span cache
     # seeded from a partial run would silently under-prune (judge ADVICE r1)
+    import time as _time
+    _t0 = _time.perf_counter()
     control = load_control(paths)
+    LAST_TIMINGS["control"] = round(_time.perf_counter() - _t0, 3)
     control.max_txn_span = max(control.max_txn_span, prev_span)
     prev_sv = max((m.schema_version for m in MF.read_all(mdir).values()),
                   default=0) if resume else 0

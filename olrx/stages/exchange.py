@@ -47,6 +47,10 @@ from olrx.stages.apply import compact_events, merge_apply
 #: large enough that applier compaction overlaps routing.
 ACK_WINDOW = 8
 
+#: phase wall times of the most recent run_actor_exchange on this driver
+#: (bench/diagnostic readout; keys: route, fence, finalize)
+LAST_TIMINGS: dict = {}
+
 
 @ray.remote
 class PartitionApplier:
@@ -194,10 +198,15 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
     appliers = [PartitionApplier.remote(a, num_appliers, schema_version,
                                         compact_threshold, multi_table)
                 for a in range(num_appliers)]
+    t0 = time.perf_counter()
     routed = events.map_batches(make_router(appliers, num_appliers),
                                 batch_format="pyarrow")
     sent_total = int(routed.sum("sent") or 0)
+    t1 = time.perf_counter()
     _fence(appliers, sent_total)
+    t2 = time.perf_counter()
+    LAST_TIMINGS.clear()
+    LAST_TIMINGS.update(route=round(t1 - t0, 3), fence=round(t2 - t1, 3))
     if commit is None:
         refs = [a.finalize_rows.remote() for a in appliers]
         if as_refs:
@@ -206,10 +215,12 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
             ray.wait(refs, num_returns=len(refs), fetch_local=False)
             for a in appliers:
                 ray.kill(a)
+            LAST_TIMINGS["finalize"] = round(time.perf_counter() - t2, 3)
             return refs
         outs = ray.get(refs)
     else:
         outs = ray.get([a.finalize_commit.remote(**commit) for a in appliers])
     for a in appliers:
         ray.kill(a)
+    LAST_TIMINGS["finalize"] = round(time.perf_counter() - t2, 3)
     return pa.concat_tables([t for t in outs if t.num_rows > 0] or outs[:1])
