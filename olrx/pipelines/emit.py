@@ -46,12 +46,14 @@ _COMMIT_IDX = 1 << 30
 _CHKPT_IDX = (1 << 30) + 1
 
 
-def _image_dict(struct_col: pa.ChunkedArray, sel: np.ndarray) -> list:
-    """Row dicts (or None) for the selected struct rows."""
-    if isinstance(struct_col, pa.ChunkedArray):
-        struct_col = struct_col.combine_chunks()
-    taken = struct_col.take(pa.array(sel))
-    return taken.to_pylist()
+def _jstr(col):
+    """Polars expr: JSON-encode a string column INCLUDING quotes/escapes,
+    vectorized. Wrapping in a 1-field struct reuses the (Rust) JSON writer
+    for escaping; the '{"v":' prefix and '}' suffix are then stripped.
+    Null → the 4-char literal ``null``."""
+    import polars as pl
+    return (pl.struct(v=col).struct.json_encode()
+            .str.slice(5).str.strip_suffix("}"))
 
 
 def message_stream(paths: list[str], cfg: ReplayConfig | None = None,
@@ -126,64 +128,118 @@ def message_stream(paths: list[str], cfg: ReplayConfig | None = None,
             "ddl": pa.array([], pa.string()),
         })
 
-    def to_messages(g: pd.DataFrame) -> pd.DataFrame:
-        """One bucket → envelope lines. Synthesizes begin/commit per txn in
-        the bucket (a txn's DMLs all share its commit_scn, hence its bucket)
-        and a closing chkpt (BuilderJson.cpp:680)."""
-        g = g.sort_values(["commit_scn", "scn", "scn_idx"], kind="stable")
-        bucket = int(g["scn_bucket"].iloc[0])
-        out_scn, out_idx, out_msg = [], [], []
+    def to_messages(g: pa.Table) -> pa.Table:
+        """One bucket → envelope lines, fully vectorized (polars JSON writer
+        for the images and string escaping; no per-row Python). Synthesizes
+        begin/commit per txn in the bucket (a txn's DMLs all share its
+        commit_scn, hence its bucket) and a closing chkpt
+        (BuilderJson.cpp:680)."""
+        import polars as pl
 
-        def emit(c_scn: int, order_idx: int, obj: dict) -> None:
-            out_scn.append(c_scn)
-            out_idx.append(order_idx)
-            out_msg.append(json.dumps(obj, ensure_ascii=False, default=str))
+        bucket = int(g["scn_bucket"][0].as_py())
+        order = pc.sort_indices(
+            g, sort_keys=[("commit_scn", "ascending"), ("xid", "ascending"),
+                          ("scn", "ascending"), ("scn_idx", "ascending")])
+        g = g.take(order).combine_chunks()
+        n = g.num_rows
+        cscn = g["commit_scn"].to_numpy()
+        xid_np = np.asarray(g["xid"].to_numpy(zero_copy_only=False), object)
+        new_txn = np.empty(n, bool)
+        new_txn[0] = True
+        new_txn[1:] = (cscn[1:] != cscn[:-1]) | (xid_np[1:] != xid_np[:-1])
+        txn_starts = np.flatnonzero(new_txn)
+        t_of = np.cumsum(new_txn) - 1
+        c_idx = np.arange(n) - txn_starts[t_of] + 1   # 1..n within each txn
 
-        op_letter = {"I": "c", "U": "u", "D": "d"}
-        for (xid, c_scn), txn in g.groupby(["xid", "commit_scn"], sort=True):
-            c_idx = 0
-            emit(c_scn, c_idx, {
-                "c_scn": int(c_scn), "c_idx": c_idx, "xid": xid,
-                "payload": [{"op": "begin"}]})
-            for r in txn.itertuples():
-                c_idx += 1
-                if r.op == "DDL":
-                    emit(c_scn, c_idx, {
-                        "c_scn": int(c_scn), "c_idx": c_idx, "xid": xid,
-                        "scn": int(r.scn),
-                        "payload": [{"op": "ddl", "sql": r.ddl}]})
-                    continue
-                body = {
-                    "op": op_letter[r.op],
-                    "schema": {"owner": "OLR", "table": r.table_name},
-                    "rid": f"{r.conv_id}/{int(r.turn_idx)}",
-                }
-                # undo image on u/d (Builder.h:153-158; BuilderJson appendBefore)
-                if r.op in ("U", "D"):
-                    body["before"] = r.before
-                if r.op in ("I", "U"):
-                    body["after"] = r.after
-                emit(c_scn, c_idx, {
-                    "c_scn": int(c_scn), "c_idx": c_idx, "xid": xid,
-                    "scn": int(r.scn), "payload": [body]})
-            emit(c_scn, _COMMIT_IDX, {
-                "c_scn": int(c_scn), "c_idx": c_idx + 1, "xid": xid,
-                "payload": [{"op": "commit"}]})
+        df = pl.from_arrow(g.select(
+            ["op", "table_name", "conv_id", "turn_idx", "before", "after",
+             "ddl", "scn"]))
+        df = df.with_columns(
+            pl.Series("c_scn", cscn),
+            pl.Series("c_idx", c_idx),
+            pl.Series("xid", xid_np, dtype=pl.Utf8),
+        )
+        lit = pl.lit
+        opj = (pl.when(pl.col("op") == "I").then(lit('"c"'))
+                 .when(pl.col("op") == "U").then(lit('"u"'))
+                 .otherwise(lit('"d"')))
+        rid = pl.concat_str([pl.col("conv_id"), lit("/"),
+                             pl.col("turn_idx").cast(pl.Utf8)])
+        dml_body = pl.concat_str([
+            lit('{"op": '), opj,
+            lit(', "schema": {"owner": "OLR", "table": '),
+            _jstr(pl.col("table_name")), lit('}, "rid": '), _jstr(rid),
+            # undo image on u/d (Builder.h:153-158; BuilderJson appendBefore)
+            pl.when(pl.col("op").is_in(["U", "D"]))
+              .then(pl.concat_str([lit(', "before": '),
+                                   pl.col("before").struct.json_encode()]))
+              .otherwise(lit("")),
+            pl.when(pl.col("op").is_in(["I", "U"]))
+              .then(pl.concat_str([lit(', "after": '),
+                                   pl.col("after").struct.json_encode()]))
+              .otherwise(lit("")),
+            lit("}"),
+        ])
+        ddl_body = pl.concat_str([lit('{"op": "ddl", "sql": '),
+                                  _jstr(pl.col("ddl")), lit("}")])
+        body = pl.when(pl.col("op") == "DDL").then(ddl_body).otherwise(dml_body)
+        msg = pl.concat_str([
+            lit('{"c_scn": '), pl.col("c_scn").cast(pl.Utf8),
+            lit(', "c_idx": '), pl.col("c_idx").cast(pl.Utf8),
+            lit(', "xid": '), _jstr(pl.col("xid")),
+            lit(', "scn": '), pl.col("scn").cast(pl.Utf8),
+            lit(', "payload": ['), body, lit("]}"),
+        ])
+        ev = df.select(pl.col("c_scn"),
+                       pl.col("c_idx").alias("order_idx"),
+                       msg.alias("msg"))
+
+        # begin/commit envelopes: one pair per txn, built over txn arrays
+        t_scn = cscn[txn_starts]
+        t_events = np.diff(np.append(txn_starts, n))
+        tdf = pl.DataFrame({
+            "c_scn": t_scn,
+            "xid": pl.Series(list(xid_np[txn_starts]), dtype=pl.Utf8),
+            "n_ev": t_events,
+        })
+        xj = _jstr(pl.col("xid"))
+        begin = tdf.select(
+            pl.col("c_scn"),
+            pl.lit(0).cast(pl.Int64).alias("order_idx"),
+            pl.concat_str([lit('{"c_scn": '), pl.col("c_scn").cast(pl.Utf8),
+                           lit(', "c_idx": 0, "xid": '), xj,
+                           lit(', "payload": [{"op": "begin"}]}')]).alias("msg"))
+        commit = tdf.select(
+            pl.col("c_scn"),
+            pl.lit(_COMMIT_IDX).cast(pl.Int64).alias("order_idx"),
+            pl.concat_str([lit('{"c_scn": '), pl.col("c_scn").cast(pl.Utf8),
+                           lit(', "c_idx": '),
+                           (pl.col("n_ev") + 1).cast(pl.Utf8),
+                           lit(', "xid": '), xj,
+                           lit(', "payload": [{"op": "commit"}]}')]).alias("msg"))
+
         # checkpoint record closing the bucket
-        max_scn = int(g["commit_scn"].max())
-        emit(max_scn, _CHKPT_IDX, {
-            "c_scn": max_scn,
-            "payload": [{"op": "chkpt", "seq": bucket, "scn": max_scn}]})
-        df = pd.DataFrame({"c_scn": out_scn, "order_idx": out_idx,
-                           "scn_bucket": bucket, "msg": out_msg})
-        return df.sort_values(["c_scn", "order_idx"], kind="stable")
+        max_scn = int(cscn[-1])
+        chk = json.dumps({"c_scn": max_scn, "payload": [
+            {"op": "chkpt", "seq": bucket, "scn": max_scn}]})
+        chkpt = pl.DataFrame({"c_scn": [max_scn],
+                              "order_idx": [_CHKPT_IDX], "msg": [chk]})
+        chkpt = chkpt.with_columns(pl.col("c_scn").cast(pl.Int64),
+                                   pl.col("order_idx").cast(pl.Int64))
+
+        out = (pl.concat([begin, ev, commit, chkpt])
+                 .sort(["c_scn", "order_idx"])
+                 .with_columns(pl.lit(bucket).cast(pl.Int32)
+                               .alias("scn_bucket")))
+        return (out.select(["c_scn", "order_idx", "scn_bucket", "msg"])
+                   .to_arrow())
 
     ds = rd.read_parquet(paths, columns=MESSAGE_COLUMNS,
                          override_num_blocks=cfg.resolved_read_blocks())
     return (ds.map_batches(decode_keep_images, batch_format="pyarrow",
                            batch_size=cfg.batch_size)
               .groupby("scn_bucket")
-              .map_groups(to_messages, batch_format="pandas"))
+              .map_groups(to_messages, batch_format="pyarrow"))
 
 
 def write_message_stream(paths: list[str], out_dir: str,
