@@ -67,8 +67,11 @@ def run_bench() -> dict:
             while f.read(1 << 22):
                 pass
 
+    cfg_kw = {}
+    if os.environ.get("OLRX_COMPACT_THRESHOLD", "").strip():
+        cfg_kw["applier_compact_threshold"] = int(os.environ["OLRX_COMPACT_THRESHOLD"])
     cfg = ReplayConfig(num_partitions=max(64, NUM_CPUS * 4),
-                       decode_concurrency=max(2, NUM_CPUS // 2))
+                       decode_concurrency=max(2, NUM_CPUS // 2), **cfg_kw)
     out_dir = f"/tmp/olrx_bench/lake-{NUM_CPUS}"
 
     # warm the Ray worker/actor pool with an untimed mini-run (first pipeline

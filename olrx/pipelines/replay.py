@@ -74,11 +74,13 @@ class ReplayConfig:
     exchange: str = "actor"
     num_appliers: int | None = None   # None → 2× CPUs
     #: applier memory bound, ON by default (judge r1): when an applier's
-    #: buffered events exceed this, fold them to the per-key winner set
-    #: (compact_events, a proven semigroup). 4M rows ≈ 600 MB of typical
-    #: transcript events per applier. The windowed-async router overlaps
-    #: compaction with routing, so the bound costs ~no wall time. 0 = off.
-    applier_compact_threshold: int = 4_000_000
+    #: un-compacted buffer exceeds max(this, rows already folded), fold it
+    #: into the per-key winner set (compact_events, a proven semigroup) via
+    #: an OFF-PATH Ray task (the actor's message loop never blocks). The
+    #: geometric trigger doubles fold sizes, so total compaction work is
+    #: O(stream) while live state stays O(winner set + one buffer of equal
+    #: size). 1M rows ≈ 150 MB floor per applier. 0 = off.
+    applier_compact_threshold: int = 1_000_000
     #: user-facing filters (reference §2.6)
     skip_xids: tuple[str, ...] = ()      # drop named transactions
     conv_regex: str | None = None        # track only matching conv_ids
@@ -187,7 +189,8 @@ def oversized_xids(paths: list[str], max_events: int) -> tuple[str, ...]:
 
 def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
                     min_commit_scn_excl: int = -1,
-                    hot: frozenset | None = None) -> rd.Dataset:
+                    hot: frozenset | None = None,
+                    owner_sort: int = 0) -> rd.Dataset:
     commit_ref = ray.put(control.decode_broadcast())
     hot_ref = None
     if hot:
@@ -216,7 +219,8 @@ def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
                       cfg.salt_block, floor,
                       skip, cfg.conv_regex, cfg.condition,
                       include_table=cfg.multi_table,
-                      table_regex=cfg.table_regex),
+                      table_regex=cfg.table_regex,
+                      owner_sort=owner_sort),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
@@ -229,7 +233,10 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
     sv = control.schema_version
     hot = (detect_hot_keys(paths, frac_threshold=cfg.hot_frac_threshold)
            if cfg.salt_hot else None)
-    events = _decoded_events(paths, cfg, control, hot=hot)
+    events = _decoded_events(
+        paths, cfg, control, hot=hot,
+        owner_sort=(cfg.resolved_num_appliers()
+                    if cfg.exchange == "actor" else 0))
     if cfg.exchange == "actor":
         from olrx.stages.exchange import run_actor_exchange
         refs = run_actor_exchange(events, cfg.resolved_num_appliers(), sv,
@@ -377,8 +384,10 @@ def replay_to_lake(paths: list[str], out_dir: str,
     safe_wm = cfg.safe_watermark(control)
     max_commit = control.max_commit_scn
     hot = _resolved_hot_keys(paths, out_dir, cfg, resume)
-    events = _decoded_events(paths, cfg, control, min_commit_scn_excl=floor,
-                             hot=hot)
+    events = _decoded_events(
+        paths, cfg, control, min_commit_scn_excl=floor, hot=hot,
+        owner_sort=(cfg.resolved_num_appliers()
+                    if cfg.exchange == "actor" else 0))
     span = control.max_txn_span
     if cfg.exchange == "actor":
         from olrx.stages.exchange import run_actor_exchange

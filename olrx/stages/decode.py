@@ -258,7 +258,8 @@ class CommitResolver:
                  conv_regex: str | None = None,
                  condition: str | None = None,
                  include_table: bool = False,
-                 table_regex: str | None = None):
+                 table_regex: str | None = None,
+                 owner_sort: int = 0):
         bc = ray.get(commit_ref) if commit_ref is not None else (None, None, None)
         if len(bc) == 2:   # tests may broadcast the bare commit lookup
             bc = (*bc, None)
@@ -278,6 +279,9 @@ class CommitResolver:
         # (/root/reference/src/OpenLogReplicator.cpp:1009-1045)
         self.include_table = include_table
         self.table_regex = table_regex
+        #: when set (= number of appliers), output rows arrive sorted by
+        #: owner (part % owner_sort) so the router slices instead of sorting
+        self.owner_sort = owner_sort
         if condition:
             from olrx.functions.condition import Condition
             self.condition = Condition(condition)
@@ -292,87 +296,122 @@ class CommitResolver:
         self._truncate = int(_os.environ.get("OLRX_TRUNCATE_TEXT", "0"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        dml = batch.filter(pc.is_in(batch["op"], value_set=pa.array(["I", "U", "D"])))
-        if dml.num_rows and self.table_regex:
-            dml = dml.filter(pc.match_substring_regex(dml["table_name"],
-                                                      self.table_regex))
-        if dml.num_rows and self.skip_xids is not None:
-            dml = dml.filter(pc.invert(pc.is_in(dml["xid"], value_set=self.skip_xids)))
-        if dml.num_rows and self.conv_regex:
-            dml = dml.filter(pc.match_substring_regex(dml["conv_id"], self.conv_regex))
-        if dml.num_rows and self.condition is not None:
-            dml = self.condition.filter(dml)
-        if dml.num_rows == 0 or self._commit_hashes is None \
-                or len(self._commit_hashes) == 0:
+        """Index-cascade decode: all filter/join steps operate on a shrinking
+        numpy index array, gathering only the (small) column each step needs.
+        The payload-heavy columns (``after`` text!) are gathered exactly ONCE
+        at the end — and, when ``owner_sort`` is set, already in applier-owner
+        order, so the actor-exchange router ships zero-copy slices without
+        its own re-sort gather. Halves the per-event DRAM traffic vs the
+        filter-cascade formulation (measured; bandwidth is the scaling
+        limiter on shared-DRAM nodes)."""
+        if self._commit_hashes is None or len(self._commit_hashes) == 0:
             # empty commit map (only rolled-back/open txns in the input, or an
             # incremental window with no new commits) ⇒ every event drops
+            return self._empty()
+        if self.condition is not None:
+            # row-condition filters reference arbitrary payload fields: take
+            # the straightforward table-filter path (rare, user-driven)
+            batch = batch.filter(
+                pc.is_in(batch["op"], value_set=OP_LETTER))
+            batch = self.condition.filter(batch)
+            if batch.num_rows == 0:
+                return self._empty()
+            idx = np.arange(batch.num_rows, dtype=np.int64)
+        else:
+            m = pc.is_in(batch["op"], value_set=OP_LETTER)
+            idx = np.flatnonzero(m.to_numpy(zero_copy_only=False))
+
+        def gather(name: str):
+            c = batch[name].take(pa.array(idx))
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        def np_keep(mask_arr: "pa.Array") -> np.ndarray:
+            return pc.fill_null(mask_arr, False).to_numpy(zero_copy_only=False)
+
+        if len(idx) and self.table_regex:
+            idx = idx[np_keep(pc.match_substring_regex(gather("table_name"),
+                                                       self.table_regex))]
+        if len(idx) and self.skip_xids is not None:
+            idx = idx[np_keep(pc.invert(pc.is_in(gather("xid"),
+                                                 value_set=self.skip_xids)))]
+        if len(idx) and self.conv_regex:
+            idx = idx[np_keep(pc.match_substring_regex(gather("conv_id"),
+                                                       self.conv_regex))]
+        if len(idx) == 0:
             return self._empty()
         # commit lookup: hashed xid → binary-search into the broadcast sorted
         # hash array. O(batch·log #txns) with zero per-batch build cost —
         # an Acero hash join here rebuilds its O(#txns) hash table for EVERY
         # batch, which measured 16× the probe cost (see git history).
-        xid_h = pd.util.hash_array(
-            np.asarray(dml["xid"].to_numpy(zero_copy_only=False), dtype=object))
+        xid_h = pd.util.hash_array(np.asarray(
+            gather("xid").to_numpy(zero_copy_only=False), dtype=object))
         # partial-rollback anti-join: drop DML ops named by a PR undo vector
         # (reference: rollbackLastOp removing the op from the txn buffer,
         # /root/reference/src/parser/Transaction.cpp:73-148)
         if self._pr_sorted is not None and len(self._pr_sorted):
             keys = mix_pr_keys(
                 xid_h,
-                dml["scn"].to_numpy(zero_copy_only=False),
-                dml["scn_idx"].to_numpy(zero_copy_only=False))
+                gather("scn").to_numpy(zero_copy_only=False),
+                gather("scn_idx").to_numpy(zero_copy_only=False))
             ppos = np.clip(np.searchsorted(self._pr_sorted, keys), 0,
                            len(self._pr_sorted) - 1)
             undone = self._pr_sorted[ppos] == keys
             if undone.any():
-                sel = pa.array(np.flatnonzero(~undone))
-                dml = dml.take(sel)
-                xid_h = xid_h[~undone]
-                if dml.num_rows == 0:
+                idx, xid_h = idx[~undone], xid_h[~undone]
+                if len(idx) == 0:
                     return self._empty()
         pos = np.searchsorted(self._commit_hashes, xid_h)
         pos = np.clip(pos, 0, len(self._commit_hashes) - 1)
-        found = self._commit_hashes[pos] == xid_h
+        keep = self._commit_hashes[pos] == xid_h
         commit_scn = self._commit_scns[pos]
-        keep = found
         if self.min_commit_scn_excl >= 0:
             keep = keep & (commit_scn > self.min_commit_scn_excl)
         if not keep.all():
-            sel = pa.array(np.flatnonzero(keep))
-            dml = dml.take(sel)
+            idx = idx[keep]
             commit_scn = commit_scn[keep]
-        if dml.num_rows == 0:
+        if len(idx) == 0:
             return self._empty()
 
-        after = dml["after"].combine_chunks()
+        tbl_arr = gather("table_name") if self.include_table else None
+        part = partition_ids(gather("conv_id"), gather("turn_idx"),
+                             self.num_partitions, self.hot, self.salt_block,
+                             table=tbl_arr)
+        if self.owner_sort:
+            order = np.argsort(part % self.owner_sort, kind="stable")
+            idx, part, commit_scn = idx[order], part[order], commit_scn[order]
+
+        # THE payload gather: one take over only the columns the stream needs
+        # (xid/op stay behind — already consumed above)
+        want = (["table_name"] if self.include_table else []) + [
+            "conv_id", "turn_idx", "op", "scn", "scn_idx", "changed_mask",
+            "after"]
+        final = batch.select(want).take(pa.array(idx))
+        after = final["after"].combine_chunks()
         present = {f.name for f in after.type}
-        op_str = dml["op"].to_numpy(zero_copy_only=False)
+        op_str = final["op"].to_numpy(zero_copy_only=False)
         op_code = np.full(len(op_str), OP_U, np.int8)
         op_code[op_str == "I"] = OP_I
         op_code[op_str == "D"] = OP_D
         cols: dict[str, object] = {}
         if self.include_table:
-            cols["table_name"] = dml["table_name"]
+            cols["table_name"] = final["table_name"]
         cols.update({
-            "conv_id": dml["conv_id"],
-            "turn_idx": dml["turn_idx"],
+            "conv_id": final["conv_id"],
+            "turn_idx": final["turn_idx"],
             "op_code": pa.array(op_code, pa.int8()),
             "commit_scn": pa.array(commit_scn, pa.int64()),
-            "scn": dml["scn"],
-            "scn_idx": dml["scn_idx"],
-            "changed_mask": dml["changed_mask"],
+            "scn": final["scn"],
+            "scn_idx": final["scn_idx"],
+            "changed_mask": final["changed_mask"],
         })
         for name, typ in zip(self.payload_cols, self.payload_types):
             if name in present:
                 cols[f"v_{name}"] = pc.struct_field(after, name)
             else:  # narrower pre-DDL segment schema: additive column reads null
-                cols[f"v_{name}"] = pa.nulls(dml.num_rows, typ)
+                cols[f"v_{name}"] = pa.nulls(final.num_rows, typ)
         if self._truncate:
             cols["v_text"] = pc.utf8_slice_codeunits(cols["v_text"], 0,
                                                      self._truncate)
-        part = partition_ids(dml["conv_id"], dml["turn_idx"],
-                             self.num_partitions, self.hot, self.salt_block,
-                             table=dml["table_name"] if self.include_table else None)
         cols["part"] = pa.array(part, pa.int32())
         return pa.table(cols)
 
@@ -402,7 +441,7 @@ def make_resolver(commit_ref, num_partitions: int, hot_ref=None,
                   salt_block: int = 64, min_commit_scn_excl: int = -1,
                   skip_xids: tuple[str, ...] = (), conv_regex: str | None = None,
                   condition: str | None = None, include_table: bool = False,
-                  table_regex: str | None = None):
+                  table_regex: str | None = None, owner_sort: int = 0):
     """Stateless decode fn for `map_batches`. The resolver object is built
     lazily once per worker process and cached — `ray.get` on the broadcast
     refs is a zero-copy shared-memory read, so there is no per-batch cost
@@ -414,7 +453,8 @@ def make_resolver(commit_ref, num_partitions: int, hot_ref=None,
             holder.append(CommitResolver(commit_ref, num_partitions, hot_ref,
                                          salt_block, min_commit_scn_excl,
                                          skip_xids, conv_regex, condition,
-                                         include_table, table_regex))
+                                         include_table, table_regex,
+                                         owner_sort))
         return holder[0](batch)
 
     return fn

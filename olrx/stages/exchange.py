@@ -13,23 +13,29 @@ One plasma write per decoded batch; appliers read shards zero-copy. Each
 `(conv_id, turn_idx)` key lands on exactly one applier (hash partition), the
 partitioning assumption merge-apply needs.
 
-Flow control (r2): routing is WINDOWED-async — each router worker keeps up
-to ``ACK_WINDOW`` outstanding `add` acks before waiting, so applier-side
-work (notably incremental compaction) overlaps routing instead of
-serializing behind it. Completion is fenced by COUNT, not by acks: routers
-report how many shards they shipped (their map output), and the driver
-polls the appliers until the received total matches — only then does
-finalize start. Ray Data worker processes outlive their tasks (idle pool),
-so submitted-but-unacked actor calls are still delivered; the fence makes
-that delivery observable. A retried router block re-ships its shards;
-duplicate events are harmless to the LWW merge (same winner) — the fence
-counts only COMPLETED router tasks' shards, so the total is exact.
+Flow control (r2.1): appliers are METADATA BROKERS. Routers ``ray.put``
+each shard (owner = the receiving applier, so refs outlive the router
+worker) and send only the ObjectRef — `add_ref` appends a ref and returns,
+so acks are instant and a busy applier can never convoy the routers (the
+r2.0 design ran compaction on the actor's serial message path; one
+compacting applier filled every router's ack window and stalled the whole
+exchange — measured 4× wall blowup at 4 CPUs). Completion is fenced by
+COUNT, not by acks: routers report how many shards they shipped (their map
+output), and the driver polls the appliers until the received total
+matches — only then does finalize start. A retried router block re-ships
+its shards; duplicate events are harmless to the LWW merge (same winner) —
+the fence counts only COMPLETED router tasks' shards, so the total is
+exact.
 
 Memory: compaction (``compact_threshold`` rows, ON by default via
-ReplayConfig) folds an applier's buffered events to the per-key winner set
-(a proven semigroup — tests/test_property.py), keeping applier state
-O(#keys) however long the stream is — the TransactionBuffer big-txn swap
-analog (/root/reference/src/common/MemoryManager.cpp:197-260).
+ReplayConfig) folds buffered events to the per-key winner set (a proven
+semigroup — tests/test_property.py). It runs as detached Ray TASKS over
+the buffered refs — off the actor's message path, scheduled onto whatever
+CPUs are idle — and the raw shards live in the object store (which spills
+to disk under pressure), not the actor heap. Applier-visible state is
+O(#runs) refs; materialized bytes are bounded by plasma + the compacted
+winner sets — the TransactionBuffer big-txn swap analog
+(/root/reference/src/common/MemoryManager.cpp:197-260).
 """
 
 from __future__ import annotations
@@ -42,20 +48,32 @@ import ray
 
 from olrx.stages.apply import compact_events, merge_apply
 
-#: outstanding un-acked `add` calls per router worker before it waits.
-#: Small enough to bound in-flight plasma bytes (window × batch bytes),
-#: large enough that applier compaction overlaps routing.
-ACK_WINDOW = 8
+#: outstanding un-acked `add_ref` calls per router worker before it waits.
+#: Acks are instant (ref append), so the window only bounds the actor
+#: mailbox depth, not throughput.
+ACK_WINDOW = 32
 
 #: phase wall times of the most recent run_actor_exchange on this driver
 #: (bench/diagnostic readout; keys: route, fence, finalize)
 LAST_TIMINGS: dict = {}
 
 
+@ray.remote(num_cpus=1)
+def _compact_run(refs: list) -> pa.Table:
+    """Off-path compaction: fold a batch of buffered shard refs into their
+    per-key winner set. Runs as a plain task on whatever CPU is idle; the
+    applier's message loop never blocks on it."""
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
+    tables = ray.get(refs)
+    return compact_events(pa.concat_tables(tables, promote_options="default"))
+
+
 @ray.remote
 class PartitionApplier:
-    """Owns `num_partitions / num_appliers` hash partitions; accumulates
-    decoded event shards, then merges and (optionally) commits each."""
+    """Owns `num_partitions / num_appliers` hash partitions; collects
+    decoded event shard REFS, then merges and (optionally) commits each.
+    Bulk bytes stay in the object store until finalize."""
 
     def __init__(self, applier_id: int, num_appliers: int,
                  schema_version: int,
@@ -65,47 +83,75 @@ class PartitionApplier:
         self.num_appliers = num_appliers
         self.schema_version = schema_version
         self.multi_table = multi_table
-        self.shards: list[pa.Table] = []
+        self.shard_refs: list = []       # un-compacted shard ObjectRefs
+        self.runs: list = []             # refs of compacted runs (task outputs)
         self.buffered_rows = 0
         self.shards_received = 0
-        #: memory guard (0 = off): once buffered events exceed this, fold
-        #: them into the per-key winner set (compact_events) — applier state
-        #: stays O(#keys) however long the stream is. Runs on the actor's
-        #: serial path, overlapped with routing by the ack window.
+        #: memory guard (0 = off): once buffered (un-compacted) events exceed
+        #: ``max(threshold, rows already folded)``, hand the buffer to an
+        #: off-path compaction task chained onto the previous run. The
+        #: geometric trigger (fold sizes double) keeps total compaction work
+        #: O(R) — a fixed re-fold threshold is quadratic in stream length.
+        #: Staggered ±25% by applier id so the fleet doesn't trigger in
+        #: lockstep (a synchronized storm steals every CPU at once).
         self.compact_threshold = compact_threshold
+        if compact_threshold:
+            frac = applier_id / max(1, num_appliers - 1) if num_appliers > 1 else 0.5
+            self.compact_threshold = int(compact_threshold * (0.75 + 0.5 * frac))
+        self.folded_rows = 0     # upper bound of the compacted run's rows
         # all appliers finalize concurrently; each Arrow kernel spawning a
         # full-size internal thread pool oversubscribes the node and inflates
         # even plain numpy wall time via preemption
         pa.set_cpu_count(2)
         pa.set_io_thread_count(2)
 
-    def add(self, shard: pa.Table) -> int:
+    def add_ref(self, shard_ref_box: list, num_rows: int) -> int:
+        """Register one shard. O(1): the payload stays in plasma; compaction
+        (if due) is dispatched as a task, not run here. The ref arrives
+        boxed in a 1-list — a bare ObjectRef argument would be auto-resolved
+        by Ray into the materialized table."""
         self.shards_received += 1
-        if shard.num_rows:
-            self.shards.append(shard)
-            self.buffered_rows += shard.num_rows
-            if self.compact_threshold and self.buffered_rows >= self.compact_threshold:
-                compacted = compact_events(
-                    pa.concat_tables(self.shards, promote_options="default"))
-                self.shards = [compacted]
-                self.buffered_rows = compacted.num_rows
-        return shard.num_rows
+        if num_rows:
+            self.shard_refs.append(shard_ref_box[0])
+            self.buffered_rows += num_rows
+            if self.compact_threshold and self.buffered_rows >= max(
+                    self.compact_threshold, self.folded_rows):
+                # fold buffer + previous run into one new run (tasks chain via
+                # the run ref; serial per applier, parallel across the fleet)
+                self.runs = [_compact_run.remote(self.runs + self.shard_refs)]
+                self.folded_rows += self.buffered_rows
+                self.shard_refs = []
+                self.buffered_rows = 0
+        return num_rows
 
     def received(self) -> int:
         """Delivery fence: shards that have ARRIVED (mailbox order is
         irrelevant — the driver compares the sum against the routed total)."""
         return self.shards_received
 
+    def _gather(self) -> "pa.Table | None":
+        """Materialize this applier's holding: compacted runs (waits for any
+        in-flight compaction tasks) + the un-compacted tail."""
+        refs = self.runs + self.shard_refs
+        self.runs, self.shard_refs = [], []
+        self.buffered_rows = 0
+        self.folded_rows = 0
+        if not refs:
+            return None
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        if not tables:
+            return None
+        return pa.concat_tables(tables, promote_options="default")
+
     def finalize_rows(self) -> pa.Table:
         """Merge-apply all owned events; keys are globally unique across
         partitions, so one reduction over the applier's whole holding is
         partition-exact."""
-        if not self.shards:
+        all_events = self._gather()
+        if all_events is None:
             from olrx import schema as S
             return S.transcripts_schema(
                 self.schema_version, include_table=self.multi_table).empty_table()
-        all_events = pa.concat_tables(self.shards, promote_options="default")
-        self.shards = []
         return merge_apply(all_events, self.schema_version)
 
     def finalize_commit(self, out_dir: str, safe_watermark: int,
@@ -114,9 +160,8 @@ class PartitionApplier:
         from olrx.pipelines.replay import _apply_and_commit
 
         stats: list[pa.Table] = []
-        if self.shards:
-            all_events = pa.concat_tables(self.shards, promote_options="default")
-            self.shards = []
+        all_events = self._gather()
+        if all_events is not None:
             # partition groups via a cheap int sort; per-partition event
             # tables are gathered once (take) and committed independently
             parts = all_events["part"].to_numpy(zero_copy_only=False)
@@ -135,30 +180,46 @@ class PartitionApplier:
 
 
 def make_router(appliers: list, num_appliers: int,
-                ack_window: int = ACK_WINDOW):
+                ack_window: int = ACK_WINDOW, ready_refs: list | None = None):
     """Stateless `map_batches` fn: split each decoded batch by applier id
-    (part % A), ship the shards async, and emit a 1-row count batch. Keeps
-    at most ``ack_window`` outstanding acks per worker (backpressure without
-    serializing behind applier-side compaction)."""
+    (part % A), `ray.put` each shard (owned by its applier, so the ref
+    outlives this worker), ship the REF async, and emit a 1-row count batch.
+    Keeps at most ``ack_window`` outstanding acks per worker (bounds the
+    actor mailbox; acks are instant so this never throttles throughput)."""
     holder: dict = {}
 
     def route(batch: pa.Table) -> pa.Table:
+        if ready_refs is not None and not holder.get("ready"):
+            # ray.put(_owner=applier) needs live owners; actor spawn overlaps
+            # with the read+decode of the first blocks, so this wait is short
+            ray.get(ready_refs)
+            holder["ready"] = True
         pending: list = holder.setdefault("pending", [])
         sent = 0
         if batch.num_rows:
             part = batch["part"].to_numpy(zero_copy_only=False)
             owner = part % num_appliers
-            order = np.argsort(owner, kind="stable")
-            sorted_batch = batch.take(pa.array(order))
-            owner_sorted = owner[order]
+            if np.all(owner[1:] >= owner[:-1]):
+                # decode emitted owner-sorted rows (owner_sort): slice only —
+                # no router-side gather of the payload bytes
+                sorted_batch = batch
+                owner_sorted = owner
+            else:
+                order = np.argsort(owner, kind="stable")
+                sorted_batch = batch.take(pa.array(order))
+                owner_sorted = owner[order]
             bounds = np.searchsorted(owner_sorted, np.arange(num_appliers + 1))
             for a in range(num_appliers):
                 lo, hi = bounds[a], bounds[a + 1]
                 if hi > lo:
                     # Arrow IPC truncates sliced buffers on serialization, so
-                    # shipping a slice costs only its own bytes
-                    pending.append(appliers[a].add.remote(
-                        sorted_batch.slice(lo, hi - lo)))
+                    # the put costs only the shard's own bytes. _owner pins
+                    # the ref to the applier: router workers are pooled task
+                    # processes Ray may reap before finalize reads the ref.
+                    shard = sorted_batch.slice(lo, hi - lo)
+                    ref = ray.put(shard, _owner=appliers[a])
+                    # boxed: a bare ref arg would be auto-resolved to the table
+                    pending.append(appliers[a].add_ref.remote([ref], hi - lo))
                     sent += 1
             if len(pending) > ack_window:
                 done, rest = ray.wait(pending,
@@ -198,8 +259,14 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
     appliers = [PartitionApplier.remote(a, num_appliers, schema_version,
                                         compact_threshold, multi_table)
                 for a in range(num_appliers)]
+    # routers ray.put with _owner=applier, which needs the owner's address —
+    # an actor still pending creation has none ("worker_id is empty"). The
+    # readiness refs are waited on lazily inside the first route() call per
+    # worker, so actor spawn overlaps the read+decode of the first blocks.
+    ready_refs = [a.__ray_ready__.remote() for a in appliers]
     t0 = time.perf_counter()
-    routed = events.map_batches(make_router(appliers, num_appliers),
+    routed = events.map_batches(make_router(appliers, num_appliers,
+                                            ready_refs=ready_refs),
                                 batch_format="pyarrow")
     sent_total = int(routed.sum("sent") or 0)
     t1 = time.perf_counter()
