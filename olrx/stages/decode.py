@@ -130,6 +130,24 @@ def _sidecar_paths(paths: list[str]) -> list[str] | None:
     return side if all(os.path.exists(sp) for sp in side) else None
 
 
+#: bump when ControlInfo derivation changes — invalidates summary caches
+_CTL_SUMMARY_VERSION = 1
+
+
+def _summary_cache_path(side: list[str]) -> str:
+    """Digest of the sidecar FILE SET (paths + sizes + mtimes): any segment
+    addition/rewrite changes the digest and misses the cache."""
+    import hashlib
+    import os
+    h = hashlib.sha256(str(_CTL_SUMMARY_VERSION).encode())
+    for p in side:
+        st = os.stat(p)
+        h.update(p.encode())
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return os.path.join(os.path.dirname(side[0]),
+                        f"_summary-{h.hexdigest()[:16]}.pkl")
+
+
 def load_control(paths: list[str], read_blocks: int | None = None) -> ControlInfo:
     """Collect control rows (commit map, DDLs, shard watermarks, txn span).
 
@@ -137,21 +155,47 @@ def load_control(paths: list[str], read_blocks: int | None = None) -> ControlInf
     B/C/R/DDL rows with precomputed xid hashes — O(#txns) bytes instead of a
     full-stream scan. Fallback: pruned-column Ray pass over the segments.
 
+    The derived ControlInfo is additionally CHECKPOINTED next to the sidecars
+    keyed by the file-set digest, so a steady-state tail/replay run loads the
+    commit map in ~ms instead of re-aggregating millions of control rows —
+    the analog of the reference persisting transaction/schema state in
+    checkpoint files rather than re-scanning redo on every start
+    (/root/reference/src/metadata/SerializerJson.cpp:62-87,
+    /root/reference/src/parser/TransactionBuffer.cpp:274-286). Best-effort:
+    unwritable directories just skip the checkpoint.
+
     The scan is deliberately NOT pruned by a resume floor: ``max_txn_span``
     must bound every transaction, including ones that straddle the floor —
     pruning the B rows below the floor makes the span (and therefore the
     event-read pruning bound in replay) unsound. Span is recomputed from the
-    full control set on every run (a numpy searchsorted over precomputed
-    hashes — cheap at O(#txns); the reference instead checkpoints the true
-    min-open-txn restart position, TransactionBuffer.cpp:274-286)."""
+    full control set (or its checkpoint) on every run."""
     side = _sidecar_paths(paths)
     if side is not None:
+        import os
+        import pickle
+        cp = _summary_cache_path(side)
+        if os.path.exists(cp):
+            try:
+                with open(cp, "rb") as f:
+                    info = pickle.load(f)
+                if isinstance(info, ControlInfo):
+                    return info
+            except Exception:
+                pass   # corrupt/partial checkpoint: recompute
         import pyarrow.dataset as pads
         dset = pads.dataset(side, format="parquet")
         ctl = dset.to_table()   # multithreaded scan of the index
         ctl = (ctl.combine_chunks() if ctl.num_rows
                else changelog_empty_control())
-        return _control_info_from(ctl)
+        info = _control_info_from(ctl)
+        try:
+            tmp = cp + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump(info, f, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, cp)
+        except OSError:
+            pass
+        return info
     if read_blocks is None:
         read_blocks = 2 * int(ray.cluster_resources().get("CPU", 8))
     ds = rd.read_parquet(paths, columns=CONTROL_COLUMNS,
