@@ -252,15 +252,21 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
 
 def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
                       safe_watermark: int, max_commit_scn: int,
-                      max_txn_span: int = 0) -> pa.Table:
+                      max_txn_span: int = 0,
+                      counters: "dict[str, int] | None" = None) -> pa.Table:
     """Lake-mode per-partition apply: merge with base state, write parquet
     atomically, then publish the manifest. Idempotent under task retries:
     a retry re-reads the (old) manifest, recomputes the same bytes and
-    re-publishes the same files/manifest — a no-op replacement."""
+    re-publishes the same files/manifest — a no-op replacement.
+
+    ``counters``: exact pre-compaction stream counts from the exchange (the
+    in-``group`` events may already be folded to winners); None → count the
+    group directly (groupby path, where events are never folded)."""
     part = int(group["part"][0].as_py())
     mdir = os.path.join(out_dir, "_manifest")
     prev = MF.read_manifest(mdir, part)
-    counters = apply_stats(group)
+    if counters is None:
+        counters = apply_stats(group)
     target_watermark = max(safe_watermark, prev.watermark_commit_scn if prev else -1)
 
     if prev is not None:
@@ -269,9 +275,13 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
             # (Metadata::isNewData, /root/reference/src/metadata/Metadata.cpp:716-727)
             return _stats_row(part, prev.rows, prev.watermark_commit_scn, True, counters)
         # drop events at or below the partition's confirmed watermark
+        n_before = group.num_rows
         group = group.filter(pc.greater(group["commit_scn"],
                                         prev.watermark_commit_scn))
-        counters = apply_stats(group)
+        if group.num_rows != n_before or counters.get("events", -1) < 0:
+            # re-count only when the filter actually dropped rows (exchange-
+            # provided stream counters stay exact otherwise)
+            counters = apply_stats(group)
         base = _read_base(out_dir, prev)
         if base is not None and base.num_rows:
             group = pa.concat_tables([_base_as_events(base, prev), group],

@@ -58,15 +58,45 @@ ACK_WINDOW = 32
 LAST_TIMINGS: dict = {}
 
 
+def _op_counts(t: pa.Table) -> np.ndarray:
+    """Pre-compaction lineage counts: flat array of (part*4 + op_code) keys,
+    one per event — callers np.unique them. Kept as raw keys so partial
+    counts merge by concatenation."""
+    part = t["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+    op = t["op_code"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = part * 4 + op
+    uniq, cnt = np.unique(key, return_counts=True)
+    return np.stack([uniq, cnt])
+
+
 @ray.remote(num_cpus=1)
-def _compact_run(refs: list) -> pa.Table:
+def _compact_run(refs: list) -> dict:
     """Off-path compaction: fold a batch of buffered shard refs into their
     per-key winner set. Runs as a plain task on whatever CPU is idle; the
-    applier's message loop never blocks on it."""
+    applier's message loop never blocks on it. Also returns the
+    PRE-compaction per-(partition, op) counts — compaction folds events
+    away, but the lineage counters (reference dml_ops metrics,
+    /root/reference/src/common/metrics/Metrics.h) must count the stream."""
     pa.set_cpu_count(1)
     pa.set_io_thread_count(1)
-    tables = ray.get(refs)
-    return compact_events(pa.concat_tables(tables, promote_options="default"))
+    tables = []
+    counts = []
+    for obj in ray.get(refs):
+        if isinstance(obj, dict):   # a previous run folded into this one
+            tables.append(obj["table"])
+            counts.append(obj["counts"])
+        else:
+            tables.append(obj)
+            counts.append(_op_counts(obj))
+    merged = np.concatenate(counts, axis=1)
+    uniq, inv = np.unique(merged[0], return_inverse=True)
+    cnt = np.zeros(len(uniq), np.int64)
+    np.add.at(cnt, inv, merged[1])
+    return {
+        "table": compact_events(
+            pa.concat_tables(tables, promote_options="default")),
+        "counts": np.stack([uniq, cnt]),
+    }
 
 
 @ray.remote
@@ -129,30 +159,45 @@ class PartitionApplier:
         irrelevant — the driver compares the sum against the routed total)."""
         return self.shards_received
 
-    def _gather(self) -> "pa.Table | None":
+    def _gather(self) -> "tuple[pa.Table, np.ndarray] | None":
         """Materialize this applier's holding: compacted runs (waits for any
-        in-flight compaction tasks) + the un-compacted tail."""
+        in-flight compaction tasks) + the un-compacted tail. Returns the
+        events plus exact pre-compaction (part, op) stream counts."""
         refs = self.runs + self.shard_refs
         self.runs, self.shard_refs = [], []
         self.buffered_rows = 0
         self.folded_rows = 0
         if not refs:
             return None
-        tables = [t for t in ray.get(refs) if t.num_rows]
+        tables = []
+        counts = [np.zeros((2, 0), np.int64)]
+        for obj in ray.get(refs):
+            if isinstance(obj, dict):
+                if obj["table"].num_rows:
+                    tables.append(obj["table"])
+                counts.append(obj["counts"])
+            elif obj.num_rows:
+                tables.append(obj)
+                counts.append(_op_counts(obj))
         if not tables:
             return None
-        return pa.concat_tables(tables, promote_options="default")
+        merged = np.concatenate(counts, axis=1)
+        uniq, inv = np.unique(merged[0], return_inverse=True)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, inv, merged[1])
+        return (pa.concat_tables(tables, promote_options="default"),
+                np.stack([uniq, cnt]))
 
     def finalize_rows(self) -> pa.Table:
         """Merge-apply all owned events; keys are globally unique across
         partitions, so one reduction over the applier's whole holding is
         partition-exact."""
-        all_events = self._gather()
-        if all_events is None:
+        held = self._gather()
+        if held is None:
             from olrx import schema as S
             return S.transcripts_schema(
                 self.schema_version, include_table=self.multi_table).empty_table()
-        return merge_apply(all_events, self.schema_version)
+        return merge_apply(held[0], self.schema_version)
 
     def finalize_commit(self, out_dir: str, safe_watermark: int,
                         max_commit_scn: int, max_txn_span: int) -> pa.Table:
@@ -160,8 +205,9 @@ class PartitionApplier:
         from olrx.pipelines.replay import _apply_and_commit
 
         stats: list[pa.Table] = []
-        all_events = self._gather()
-        if all_events is not None:
+        held = self._gather()
+        if held is not None:
+            all_events, op_counts = held
             # partition groups via a cheap int sort; per-partition event
             # tables are gathered once (take) and committed independently
             parts = all_events["part"].to_numpy(zero_copy_only=False)
@@ -169,10 +215,17 @@ class PartitionApplier:
             parts_sorted = parts[order]
             bounds = np.flatnonzero(np.diff(parts_sorted)) + 1
             for sel in np.split(order, bounds):
+                part_id = int(parts[sel[0]])
+                m = (op_counts[0] // 4) == part_id
+                ops = op_counts[0][m] % 4
+                cnt = op_counts[1][m]
+                counters = {"events": int(cnt.sum())}
+                for code, nm in ((0, "inserts"), (1, "updates"), (2, "deletes")):
+                    counters[nm] = int(cnt[ops == code].sum())
                 stats.append(_apply_and_commit(
                     all_events.take(pa.array(sel)), out_dir,
                     self.schema_version, safe_watermark, max_commit_scn,
-                    max_txn_span))
+                    max_txn_span, counters=counters))
         if not stats:
             from olrx.pipelines.replay import _stats_row
             return _stats_row(-1, 0, safe_watermark, True, {})[:0]
