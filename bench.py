@@ -41,8 +41,21 @@ def run_bench() -> dict:
     # scaling run do driver-side control scans at full-machine speed)
     pa.set_cpu_count(max(2, NUM_CPUS))
     pa.set_io_thread_count(max(2, NUM_CPUS // 2))
+    # size the object store to ~55% of RAM (Ray's default ~30% is undersized
+    # for this workload: payload blobs parked in plasma until finalize push
+    # store usage past the streaming executor's budget and it THROTTLES task
+    # scheduling — measured 1.8× route wall at 4 CPUs; Ray Data itself warns
+    # to raise the store to ≥50%). Deployment knob: size the store to the
+    # replay window's payload share per node; an undersized store degrades
+    # (spills/throttles), it does not fail.
+    if not os.environ.get("OLRX_OBJECT_STORE_BYTES"):
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        store = int(total * 0.55)
+    else:
+        store = int(os.environ["OLRX_OBJECT_STORE_BYTES"])
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=store)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

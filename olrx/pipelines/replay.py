@@ -233,10 +233,7 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
     sv = control.schema_version
     hot = (detect_hot_keys(paths, frac_threshold=cfg.hot_frac_threshold)
            if cfg.salt_hot else None)
-    events = _decoded_events(
-        paths, cfg, control, hot=hot,
-        owner_sort=(cfg.resolved_num_appliers()
-                    if cfg.exchange == "actor" else 0))
+    events = _decoded_events(paths, cfg, control, hot=hot)
     if cfg.exchange == "actor":
         from olrx.stages.exchange import run_actor_exchange
         refs = run_actor_exchange(events, cfg.resolved_num_appliers(), sv,
@@ -395,9 +392,7 @@ def replay_to_lake(paths: list[str], out_dir: str,
     max_commit = control.max_commit_scn
     hot = _resolved_hot_keys(paths, out_dir, cfg, resume)
     events = _decoded_events(
-        paths, cfg, control, min_commit_scn_excl=floor, hot=hot,
-        owner_sort=(cfg.resolved_num_appliers()
-                    if cfg.exchange == "actor" else 0))
+        paths, cfg, control, min_commit_scn_excl=floor, hot=hot)
     span = control.max_txn_span
     if cfg.exchange == "actor":
         from olrx.stages.exchange import run_actor_exchange

@@ -323,9 +323,11 @@ class CommitResolver:
         # (/root/reference/src/OpenLogReplicator.cpp:1009-1045)
         self.include_table = include_table
         self.table_regex = table_regex
-        #: when set (= number of appliers), output rows arrive sorted by
-        #: owner (part % owner_sort) so the router slices instead of sorting
-        self.owner_sort = owner_sort
+        #: deprecated (kept for call-site compat): the late-materialization
+        #: router owner-sorts only the light meta columns itself, so decode
+        #: no longer pre-sorts (a payload-wide scatter gather, ~10 s per 57M
+        #: events at 4 CPUs, measured)
+        self.owner_sort = 0
         if condition:
             from olrx.functions.condition import Condition
             self.condition = Condition(condition)
@@ -343,9 +345,9 @@ class CommitResolver:
         """Index-cascade decode: all filter/join steps operate on a shrinking
         numpy index array, gathering only the (small) column each step needs.
         The payload-heavy columns (``after`` text!) are gathered exactly ONCE
-        at the end — and, when ``owner_sort`` is set, already in applier-owner
-        order, so the actor-exchange router ships zero-copy slices without
-        its own re-sort gather. Halves the per-event DRAM traffic vs the
+        at the end, in stream order — the late-materialization router puts
+        them into plasma as one blob per batch and owner-sorts only the light
+        meta columns. Halves the per-event DRAM traffic vs the
         filter-cascade formulation (measured; bandwidth is the scaling
         limiter on shared-DRAM nodes)."""
         if self._commit_hashes is None or len(self._commit_hashes) == 0:
@@ -420,10 +422,6 @@ class CommitResolver:
         part = partition_ids(gather("conv_id"), gather("turn_idx"),
                              self.num_partitions, self.hot, self.salt_block,
                              table=tbl_arr)
-        if self.owner_sort:
-            order = np.argsort(part % self.owner_sort, kind="stable")
-            idx, part, commit_scn = idx[order], part[order], commit_scn[order]
-
         # THE payload gather: one take over only the columns the stream needs
         # (xid/op stay behind — already consumed above)
         want = (["table_name"] if self.include_table else []) + [

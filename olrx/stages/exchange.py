@@ -1,45 +1,49 @@
-"""Direct actor exchange — the alternative to the sort-based groupby.
+"""Direct actor exchange with late materialization — the alternative to the
+sort-based groupby.
 
 `groupby(part).map_groups` is the Dataset-native exchange but moves every
 byte through the object store ~4× (decode out → sort map → sort reduce →
 apply input). On bandwidth-contended hardware that halves scaling
-efficiency. This module implements SURVEY §4.2's intended design instead:
+efficiency. This module implements SURVEY §4.2's intended design instead,
+refined (r2.2) so the heavy payload bytes never ride the exchange at all:
 
-    decode task ── split batch by applier ──► PartitionApplier actors
-                                              (accumulate zero-copy refs)
-                                              finalize: merge-apply + commit
+    decode task ──┬─ payload (v_* columns, original order) ──► ONE plasma
+                  │   blob per decoded batch (``ray.put``, owned by an
+                  │   applier so it outlives the router worker)
+                  └─ meta (keys + op/order/mask + blob pointer, ~70 B/row,
+                      owner-sorted) ──► PartitionApplier actors
 
-One plasma write per decoded batch; appliers read shards zero-copy. Each
-`(conv_id, turn_idx)` key lands on exactly one applier (hash partition), the
-partitioning assumption merge-apply needs.
+Late materialization: appliers buffer and fold ONLY the meta stream; the
+text payload is looked up per WINNER row at finalize, straight from the
+blobs (`merge_apply` already reduces to per-column winner indices before
+touching payload — apply.py). Compared to shipping full rows this cuts the
+exchanged bytes ~3×, makes compaction ~10× cheaper (int sorts, no payload
+gather), and on a multi-node cluster turns payload movement into a
+winners-only fetch.
 
-Flow control (r2.1): appliers are METADATA BROKERS. Routers ``ray.put``
-each shard (owner = the receiving applier, so refs outlive the router
-worker) and send only the ObjectRef — `add_ref` appends a ref and returns,
-so acks are instant and a busy applier can never convoy the routers (the
-r2.0 design ran compaction on the actor's serial message path; one
-compacting applier filled every router's ack window and stalled the whole
-exchange — measured 4× wall blowup at 4 CPUs). Completion is fenced by
-COUNT, not by acks: routers report how many shards they shipped (their map
-output), and the driver polls the appliers until the received total
-matches — only then does finalize start. A retried router block re-ships
-its shards; duplicate events are harmless to the LWW merge (same winner) —
-the fence counts only COMPLETED router tasks' shards, so the total is
-exact.
-
-Memory: compaction (``compact_threshold`` rows, ON by default via
-ReplayConfig) folds buffered events to the per-key winner set (a proven
-semigroup — tests/test_property.py). It runs as detached Ray TASKS over
-the buffered refs — off the actor's message path, scheduled onto whatever
-CPUs are idle — and the raw shards live in the object store (which spills
-to disk under pressure), not the actor heap. Applier-visible state is
-O(#runs) refs; materialized bytes are bounded by plasma + the compacted
-winner sets — the TransactionBuffer big-txn swap analog
+Memory: applier heap holds meta only (deep-copied out of the object store),
+folded to the per-key influence set (``compact_events`` — a proven
+semigroup, tests/test_property.py) whenever the un-folded tail exceeds
+``compact_threshold`` rows (geometric trigger: the fold threshold rises to
+the folded size, keeping total fold work linear in the stream). Payload
+blobs live in plasma — which spills to disk under pressure — until
+finalize; size the object store to the replay window's payload share
+(``bench.py`` sizes it to ~55 % of RAM; an undersized store does not fail,
+it throttles the streaming executor — measured 1.8× wall at 4 CPUs). This
+is the TransactionBuffer big-txn swap analog
 (/root/reference/src/common/MemoryManager.cpp:197-260).
+
+Completion is fenced by COUNT, not by acks: routers report how many shards
+they shipped (their map output), and the driver polls the appliers until
+the received total matches — only then does finalize start. A retried
+router block re-ships its shards under a fresh blob id; duplicate events
+are harmless to the LWW merge (same winner) — the fence counts only
+COMPLETED router tasks' shards, so the total is exact.
 """
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -48,20 +52,35 @@ import ray
 
 from olrx.stages.apply import compact_events, merge_apply
 
-#: outstanding un-acked `add_ref` calls per router worker before it waits.
-#: Acks are instant (ref append), so the window only bounds the actor
-#: mailbox depth, not throughput.
+#: outstanding un-acked `add_shard` calls per router worker before it waits.
+#: Bounds the actor mailbox depth and extends Ray Data's backpressure
+#: through the actors (an ack returns once the shard is folded into the
+#: applier's heap state).
 ACK_WINDOW = 32
 
 #: phase wall times of the most recent run_actor_exchange on this driver
 #: (bench/diagnostic readout; keys: route, fence, finalize)
 LAST_TIMINGS: dict = {}
 
+#: meta columns added by the router: pointer into the payload blob
+POINTER_COLUMNS = ("blob_id", "row_idx")
+
+
+def _heap_copy(t: pa.Table) -> pa.Table:
+    """Deep-copy a table out of the object store (an actor-arg table is a
+    zero-copy view of a transient plasma object; buffering the view would
+    pin store memory for the run)."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return pa.ipc.open_stream(sink.getvalue()).read_all()
+
 
 def _op_counts(t: pa.Table) -> np.ndarray:
-    """Pre-compaction lineage counts: flat array of (part*4 + op_code) keys,
-    one per event — callers np.unique them. Kept as raw keys so partial
-    counts merge by concatenation."""
+    """Per-shard lineage counts: (2, k) array of (part*4 + op_code, count).
+    Accumulated at RECEIVE time (before any fold), so the counters track the
+    event stream exactly — the reference dml_ops metrics
+    (/root/reference/src/common/metrics/Metrics.h)."""
     part = t["part"].to_numpy(zero_copy_only=False).astype(np.int64)
     op = t["op_code"].to_numpy(zero_copy_only=False).astype(np.int64)
     key = part * 4 + op
@@ -69,41 +88,44 @@ def _op_counts(t: pa.Table) -> np.ndarray:
     return np.stack([uniq, cnt])
 
 
-@ray.remote(num_cpus=1)
-def _compact_run(refs: list) -> dict:
-    """Off-path compaction: fold a batch of buffered shard refs into their
-    per-key winner set. Runs as a plain task on whatever CPU is idle; the
-    applier's message loop never blocks on it. Also returns the
-    PRE-compaction per-(partition, op) counts — compaction folds events
-    away, but the lineage counters (reference dml_ops metrics,
-    /root/reference/src/common/metrics/Metrics.h) must count the stream."""
-    pa.set_cpu_count(1)
-    pa.set_io_thread_count(1)
-    tables = []
-    counts = []
-    for obj in ray.get(refs):
-        if isinstance(obj, dict):   # a previous run folded into this one
-            tables.append(obj["table"])
-            counts.append(obj["counts"])
-        else:
-            tables.append(obj)
-            counts.append(_op_counts(obj))
-    merged = np.concatenate(counts, axis=1)
+def _merge_counts(parts: list[np.ndarray]) -> np.ndarray:
+    merged = np.concatenate(parts, axis=1)
     uniq, inv = np.unique(merged[0], return_inverse=True)
     cnt = np.zeros(len(uniq), np.int64)
     np.add.at(cnt, inv, merged[1])
-    return {
-        "table": compact_events(
-            pa.concat_tables(tables, promote_options="default")),
-        "counts": np.stack([uniq, cnt]),
-    }
+    return np.stack([uniq, cnt])
+
+
+def materialize_events(meta: pa.Table, blobs: dict) -> pa.Table:
+    """Late-materialization gather: join meta rows back to their payload via
+    the (blob_id, row_idx) pointer. Rows come out grouped by blob (event
+    ORDER is irrelevant — merge_apply sorts by the order columns), so the
+    payload is gathered exactly once with no re-permutation."""
+    bid = meta["blob_id"].to_numpy(zero_copy_only=False)
+    rid = meta["row_idx"].to_numpy(zero_copy_only=False)
+    order = np.argsort(bid, kind="stable")
+    bid_s = bid[order]
+    bounds = np.flatnonzero(np.diff(bid_s)) + 1
+    refs, selections = [], []
+    for seg in np.split(order, bounds):
+        refs.append(blobs[int(bid[seg[0]])])
+        selections.append(rid[seg])
+    payloads = ray.get(refs)  # zero-copy plasma reads (local) / fetch (remote)
+    pieces = [p.take(pa.array(sel)) for p, sel in zip(payloads, selections)]
+    payload = pa.concat_tables(pieces, promote_options="default")
+    meta_sorted = meta.drop_columns(list(POINTER_COLUMNS)).take(pa.array(order))
+    cols = {n: meta_sorted[n] for n in meta_sorted.column_names if n != "part"}
+    for n in payload.column_names:
+        cols[n] = payload[n]
+    cols["part"] = meta_sorted["part"]
+    return pa.table(cols)
 
 
 @ray.remote
 class PartitionApplier:
-    """Owns `num_partitions / num_appliers` hash partitions; collects
-    decoded event shard REFS, then merges and (optionally) commits each.
-    Bulk bytes stay in the object store until finalize."""
+    """Owns `num_partitions / num_appliers` hash partitions; buffers the
+    META stream (heap, folded to the influence set), holds payload blob
+    refs, then materializes winners and merges/commits at finalize."""
 
     def __init__(self, applier_id: int, num_appliers: int,
                  schema_version: int,
@@ -113,46 +135,48 @@ class PartitionApplier:
         self.num_appliers = num_appliers
         self.schema_version = schema_version
         self.multi_table = multi_table
-        self.shard_refs: list = []       # un-compacted shard ObjectRefs
-        self.runs: list = []             # refs of compacted runs (task outputs)
-        self.buffered_rows = 0
+        self.meta_runs: list[pa.Table] = []   # heap-owned meta tables
+        self.tail_rows = 0                    # un-folded rows since last fold
+        self.folded_rows = 0                  # size of the folded prefix
+        self.blobs: dict = {}                 # blob_id -> payload ObjectRef
+        self.counts: list[np.ndarray] = []    # per-shard (part*4+op, n) pairs
         self.shards_received = 0
-        #: memory guard (0 = off): once buffered (un-compacted) events exceed
-        #: ``max(threshold, rows already folded)``, hand the buffer to an
-        #: off-path compaction task chained onto the previous run. The
-        #: geometric trigger (fold sizes double) keeps total compaction work
-        #: O(R) — a fixed re-fold threshold is quadratic in stream length.
-        #: Staggered ±25% by applier id so the fleet doesn't trigger in
-        #: lockstep (a synchronized storm steals every CPU at once).
+        #: meta fold trigger (rows, 0 = off): the geometric schedule
+        #: (fold when the tail outgrows the folded prefix) keeps total fold
+        #: work O(stream). Staggered ±25% by applier id so the fleet doesn't
+        #: fold in lockstep.
         self.compact_threshold = compact_threshold
         if compact_threshold:
             frac = applier_id / max(1, num_appliers - 1) if num_appliers > 1 else 0.5
             self.compact_threshold = int(compact_threshold * (0.75 + 0.5 * frac))
-        self.folded_rows = 0     # upper bound of the compacted run's rows
         # all appliers finalize concurrently; each Arrow kernel spawning a
         # full-size internal thread pool oversubscribes the node and inflates
         # even plain numpy wall time via preemption
         pa.set_cpu_count(2)
         pa.set_io_thread_count(2)
 
-    def add_ref(self, shard_ref_box: list, num_rows: int) -> int:
-        """Register one shard. O(1): the payload stays in plasma; compaction
-        (if due) is dispatched as a task, not run here. The ref arrives
-        boxed in a 1-list — a bare ObjectRef argument would be auto-resolved
-        by Ray into the materialized table."""
+    def add_shard(self, meta: pa.Table, blob_id: int, blob_ref_box: list) -> int:
+        """Register one meta shard + its payload blob ref (boxed in a 1-list
+        — a bare ObjectRef argument would be auto-resolved by Ray into the
+        materialized table). Meta-only folding is cheap (int lexsort, no
+        payload bytes), so it runs inline; the staggered geometric trigger
+        keeps any single fold small relative to the stream."""
         self.shards_received += 1
-        if num_rows:
-            self.shard_refs.append(shard_ref_box[0])
-            self.buffered_rows += num_rows
-            if self.compact_threshold and self.buffered_rows >= max(
+        n = meta.num_rows
+        if n:
+            if blob_id not in self.blobs:
+                self.blobs[blob_id] = blob_ref_box[0]
+            self.counts.append(_op_counts(meta))
+            self.meta_runs.append(_heap_copy(meta))
+            self.tail_rows += n
+            if self.compact_threshold and self.tail_rows >= max(
                     self.compact_threshold, self.folded_rows):
-                # fold buffer + previous run into one new run (tasks chain via
-                # the run ref; serial per applier, parallel across the fleet)
-                self.runs = [_compact_run.remote(self.runs + self.shard_refs)]
-                self.folded_rows += self.buffered_rows
-                self.shard_refs = []
-                self.buffered_rows = 0
-        return num_rows
+                folded = compact_events(
+                    pa.concat_tables(self.meta_runs, promote_options="default"))
+                self.meta_runs = [folded]
+                self.folded_rows = folded.num_rows
+                self.tail_rows = 0
+        return n
 
     def received(self) -> int:
         """Delivery fence: shards that have ARRIVED (mailbox order is
@@ -160,33 +184,20 @@ class PartitionApplier:
         return self.shards_received
 
     def _gather(self) -> "tuple[pa.Table, np.ndarray] | None":
-        """Materialize this applier's holding: compacted runs (waits for any
-        in-flight compaction tasks) + the un-compacted tail. Returns the
-        events plus exact pre-compaction (part, op) stream counts."""
-        refs = self.runs + self.shard_refs
-        self.runs, self.shard_refs = [], []
-        self.buffered_rows = 0
-        self.folded_rows = 0
-        if not refs:
+        """Materialize this applier's holding: fold the buffered meta down to
+        the influence set (cheap, and it shrinks the payload gather), then
+        join the winners back to their payload blobs. Returns full decoded
+        events plus exact pre-fold (part, op) stream counts."""
+        if not self.meta_runs:
             return None
-        tables = []
-        counts = [np.zeros((2, 0), np.int64)]
-        for obj in ray.get(refs):
-            if isinstance(obj, dict):
-                if obj["table"].num_rows:
-                    tables.append(obj["table"])
-                counts.append(obj["counts"])
-            elif obj.num_rows:
-                tables.append(obj)
-                counts.append(_op_counts(obj))
-        if not tables:
-            return None
-        merged = np.concatenate(counts, axis=1)
-        uniq, inv = np.unique(merged[0], return_inverse=True)
-        cnt = np.zeros(len(uniq), np.int64)
-        np.add.at(cnt, inv, merged[1])
-        return (pa.concat_tables(tables, promote_options="default"),
-                np.stack([uniq, cnt]))
+        meta = pa.concat_tables(self.meta_runs, promote_options="default")
+        self.meta_runs, self.tail_rows, self.folded_rows = [], 0, 0
+        meta = compact_events(meta)
+        events = materialize_events(meta, self.blobs)
+        self.blobs = {}
+        counts = _merge_counts(self.counts or [np.zeros((2, 0), np.int64)])
+        self.counts = []
+        return events, counts
 
     def finalize_rows(self) -> pa.Table:
         """Merge-apply all owned events; keys are globally unique across
@@ -234,11 +245,11 @@ class PartitionApplier:
 
 def make_router(appliers: list, num_appliers: int,
                 ack_window: int = ACK_WINDOW, ready_refs: list | None = None):
-    """Stateless `map_batches` fn: split each decoded batch by applier id
-    (part % A), `ray.put` each shard (owned by its applier, so the ref
-    outlives this worker), ship the REF async, and emit a 1-row count batch.
-    Keeps at most ``ack_window`` outstanding acks per worker (bounds the
-    actor mailbox; acks are instant so this never throttles throughput)."""
+    """Stateless `map_batches` fn (fused with decode): put the batch's
+    payload columns into plasma as ONE blob (owned by an applier, so the ref
+    outlives this pooled worker), owner-sort only the light meta columns,
+    and ship per-applier meta slices + the blob ref. Emits a 1-row count
+    batch (the fence total)."""
     holder: dict = {}
 
     def route(batch: pa.Table) -> pa.Table:
@@ -250,29 +261,38 @@ def make_router(appliers: list, num_appliers: int,
         pending: list = holder.setdefault("pending", [])
         sent = 0
         if batch.num_rows:
-            part = batch["part"].to_numpy(zero_copy_only=False)
+            if "base" not in holder:
+                # unique blob-id space per router worker (random 48-bit base
+                # + counter); a retried block gets fresh ids, so duplicate
+                # deliveries never alias
+                holder["base"] = int.from_bytes(os.urandom(6), "big") << 15
+                holder["seq"] = 0
+            holder["seq"] += 1
+            blob_id = holder["base"] + holder["seq"]
+            v_names = [n for n in batch.column_names if n.startswith("v_")]
+            # ONE plasma write for the heavy payload, original row order —
+            # no payload gather anywhere on the routing path
+            blob_ref = ray.put(batch.select(v_names),
+                               _owner=appliers[blob_id % num_appliers])
+            meta = batch.drop_columns(v_names)
+            meta = meta.append_column(
+                "blob_id", pa.array(np.full(batch.num_rows, blob_id, np.int64)))
+            meta = meta.append_column(
+                "row_idx", pa.array(np.arange(batch.num_rows, dtype=np.int32)))
+            part = meta["part"].to_numpy(zero_copy_only=False)
             owner = part % num_appliers
-            if np.all(owner[1:] >= owner[:-1]):
-                # decode emitted owner-sorted rows (owner_sort): slice only —
-                # no router-side gather of the payload bytes
-                sorted_batch = batch
-                owner_sorted = owner
-            else:
-                order = np.argsort(owner, kind="stable")
-                sorted_batch = batch.take(pa.array(order))
-                owner_sorted = owner[order]
+            order = np.argsort(owner, kind="stable")
+            meta_sorted = meta.take(pa.array(order))
+            owner_sorted = owner[order]
             bounds = np.searchsorted(owner_sorted, np.arange(num_appliers + 1))
             for a in range(num_appliers):
                 lo, hi = bounds[a], bounds[a + 1]
                 if hi > lo:
                     # Arrow IPC truncates sliced buffers on serialization, so
-                    # the put costs only the shard's own bytes. _owner pins
-                    # the ref to the applier: router workers are pooled task
-                    # processes Ray may reap before finalize reads the ref.
-                    shard = sorted_batch.slice(lo, hi - lo)
-                    ref = ray.put(shard, _owner=appliers[a])
-                    # boxed: a bare ref arg would be auto-resolved to the table
-                    pending.append(appliers[a].add_ref.remote([ref], hi - lo))
+                    # the message costs only the slice's own (meta) bytes
+                    shard = meta_sorted.slice(lo, hi - lo)
+                    pending.append(
+                        appliers[a].add_shard.remote(shard, blob_id, [blob_ref]))
                     sent += 1
             if len(pending) > ack_window:
                 done, rest = ray.wait(pending,
