@@ -201,3 +201,236 @@ def sql_media_stats(sf_dir: str) -> str:
 SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes, max(n_bytes) AS max_bytes
 FROM read_parquet('{path}') GROUP BY kind
 """
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (video-shaped payloads)
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 256      # fake fixed-size frame (a real decoder derives this
+                        # from the container metadata)
+_FRAME_EVERY = 4        # keep every 4th frame — the classic sampling stride
+
+
+class FrameSampler:
+    """Actor-pool stage: explode each media payload into sampled frames
+    (1 row in → ≤ n_frames/stride rows out). Real demuxing is STUBBED like
+    decode (``decode_real=True`` raises); the fake path treats the payload
+    as fixed-size frames and keeps every ``every``-th one with its mean
+    intensity — the exact output layout (media_id, frame_idx, f_mean) a
+    real frame sampler would feed downstream embedding stages."""
+
+    def __init__(self, decode_real: bool = False,
+                 frame_bytes: int = _FRAME_BYTES,
+                 every: int = _FRAME_EVERY) -> None:
+        if decode_real:
+            raise NotImplementedError(
+                "STUB: real video demux/decode needs codec libraries not "
+                "present in this container; plug a demuxer in here.")
+        self.fb = frame_bytes
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        empty = pa.table({"media_id": pa.array([], pa.int64()),
+                          "frame_idx": pa.array([], pa.int32()),
+                          "f_mean": pa.array([], pa.float64())})
+        if n == 0:
+            return empty
+        buf = np.frombuffer(col.buffers()[2], np.uint8)
+        offs = np.frombuffer(col.buffers()[1], np.int64, n + 1) + col.offset
+        lens = offs[1:] - offs[:-1]
+        nf = lens // self.fb                       # whole frames per payload
+        ns = (nf + self.every - 1) // self.every   # frames kept
+        total = int(ns.sum())
+        if total == 0:
+            return empty
+        roffs = np.zeros(n + 1, np.int64)
+        np.cumsum(ns, out=roffs[1:])
+        rdoc = np.repeat(np.arange(n), ns)
+        local = np.arange(total) - roffs[:-1][rdoc]
+        fidx = local * self.every
+        start = offs[:-1][rdoc] + fidx * self.fb
+        csum = np.zeros(len(buf) + 1, np.float64)
+        np.cumsum(buf, out=csum[1:])
+        mean = (csum[start + self.fb] - csum[start]) / self.fb / 255.0
+        mid = batch["media_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "media_id": pa.array(mid[rdoc], pa.int64()),
+            "frame_idx": pa.array(fidx.astype(np.int32)),
+            "f_mean": pa.array(np.round(mean, 4), pa.float64()),
+        })
+
+
+def q_media_frames(sf_dir: str) -> rd.Dataset:
+    """Frame sampling over binary media payloads (actor pool, small batches
+    — binary row width × concurrency must fit worker heaps)."""
+    path = ensure_media(sf_dir)
+    ds = rd.read_parquet(path, columns=["media_id", "payload"])
+    return ds.map_batches(FrameSampler, batch_format="pyarrow",
+                          batch_size=256, concurrency=2, num_cpus=1)
+
+
+def _naive_frames(payload: bytes, frame_bytes: int = _FRAME_BYTES,
+                  every: int = _FRAME_EVERY) -> list[tuple[int, float]]:
+    """Independent per-byte reference of FrameSampler's fake kernel
+    (differential-test twin; shares no code with the vectorized path)."""
+    out = []
+    nf = len(payload) // frame_bytes
+    for f in range(0, nf, every):
+        s = 0
+        for b in payload[f * frame_bytes:(f + 1) * frame_bytes]:
+            s += b
+        # np.round (not builtin round): both sides must break float-repr
+        # rounding ties identically — the differential target is the
+        # striping/explosion logic, not decimal-tie trivia
+        out.append((f, float(np.round(s / frame_bytes / 255.0, 4))))
+    return out
+
+
+def ensure_frames_expected(sf_dir: str, root: str = "/tmp/olrx_data") -> str:
+    """Sidecar parquet of expected sampled frames (naive reference loop) —
+    the DuckDB oracle reads this (byte-level BLOB striping is not SQL)."""
+    import os
+
+    src = ensure_media(sf_dir)
+    path = src.replace(".parquet", "-frames-expected.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(src, columns=["media_id", "payload"])
+    ids, fidx, fmean = [], [], []
+    for mid, p in zip(t["media_id"].to_pylist(), t["payload"]):
+        for f, m in _naive_frames(p.as_py()):
+            ids.append(mid); fidx.append(f); fmean.append(m)
+    out = pa.table({"media_id": pa.array(ids, pa.int64()),
+                    "frame_idx": pa.array(fidx, pa.int32()),
+                    "f_mean": pa.array(fmean, pa.float64())})
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_media_frames(sf_dir: str) -> str:
+    path = ensure_frames_expected(sf_dir)
+    return f"SELECT media_id, frame_idx, f_mean FROM read_parquet('{path}')"
+
+
+# ---------------------------------------------------------------------------
+# Resize (image-shaped payloads)
+# ---------------------------------------------------------------------------
+
+_RESIZE_TARGET = 1024   # fake target payload size (a real resizer targets
+                        # pixel dims; the plumbing contract is identical)
+
+
+class MediaResizer:
+    """Actor-pool stage: binary payload in → binary payload out (the resize
+    analog). Real pixel resampling is STUBBED like decode; the fake kernel
+    is a deterministic byte-stride subsample to ``target`` bytes, preserving
+    the binary-in/binary-out plumbing a real resizer needs: large_binary
+    output column, per-row variable width, small batches."""
+
+    def __init__(self, decode_real: bool = False,
+                 target: int = _RESIZE_TARGET) -> None:
+        if decode_real:
+            raise NotImplementedError(
+                "STUB: real image resampling needs codec libraries not "
+                "present in this container; plug Pillow in here.")
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({"media_id": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.large_binary()),
+                             "out_bytes": pa.array([], pa.int64())})
+        buf = np.frombuffer(col.buffers()[2], np.uint8)
+        offs = np.frombuffer(col.buffers()[1], np.int64, n + 1) + col.offset
+        lens = offs[1:] - offs[:-1]
+        out_len = np.minimum(lens, self.target)
+        # stride positions: floor(i * len / out_len) within each payload —
+        # one flat gather for the whole batch (no per-row Python)
+        t_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(out_len, out=t_offs[1:])
+        total = int(t_offs[-1])
+        rdoc = np.repeat(np.arange(n), out_len)
+        local = np.arange(total) - t_offs[:-1][rdoc]
+        src = offs[:-1][rdoc] + (local * lens[rdoc]) // np.maximum(
+            out_len[rdoc], 1)
+        out_buf = buf[src]
+        payload = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(t_offs.tobytes()),
+             pa.py_buffer(out_buf.tobytes())])
+        return pa.table({"media_id": batch["media_id"],
+                         "payload": payload,
+                         "out_bytes": pa.array(out_len, pa.int64())})
+
+
+def q_media_resize(sf_dir: str) -> rd.Dataset:
+    """Resize over binary media; the checkable surface is (media_id,
+    out_bytes, checksum) — the payload itself is summarized by an exact
+    byte-sum checksum so the oracle can hash-compare rows."""
+    path = ensure_media(sf_dir)
+    ds = rd.read_parquet(path, columns=["media_id", "payload"])
+    resized = ds.map_batches(MediaResizer, batch_format="pyarrow",
+                             batch_size=256, concurrency=2, num_cpus=1)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        col = t["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({"media_id": pa.array([], pa.int64()),
+                             "out_bytes": pa.array([], pa.int64()),
+                             "checksum": pa.array([], pa.int64())})
+        buf = np.frombuffer(col.buffers()[2], np.uint8)
+        offs = np.frombuffer(col.buffers()[1], np.int64, n + 1) + col.offset
+        csum = np.zeros(len(buf) + 1, np.int64)
+        np.cumsum(buf, out=csum[1:])
+        return pa.table({"media_id": t["media_id"],
+                         "out_bytes": t["out_bytes"],
+                         "checksum": pa.array(csum[offs[1:]] - csum[offs[:-1]],
+                                              pa.int64())})
+
+    return resized.map_batches(summarize, batch_format="pyarrow")
+
+
+def ensure_resize_expected(sf_dir: str, root: str = "/tmp/olrx_data") -> str:
+    """Sidecar parquet of expected resize summaries (independent per-byte
+    loop twin of MediaResizer's stride kernel)."""
+    import os
+
+    src = ensure_media(sf_dir)
+    path = src.replace(".parquet", "-resize-expected.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(src, columns=["media_id", "payload"])
+    ids, outb, cks = [], [], []
+    for mid, p in zip(t["media_id"].to_pylist(), t["payload"]):
+        b = p.as_py()
+        m = min(len(b), _RESIZE_TARGET)
+        s = 0
+        for i in range(m):
+            s += b[(i * len(b)) // m]
+        ids.append(mid); outb.append(m); cks.append(s)
+    out = pa.table({"media_id": pa.array(ids, pa.int64()),
+                    "out_bytes": pa.array(outb, pa.int64()),
+                    "checksum": pa.array(cks, pa.int64())})
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def sql_media_resize(sf_dir: str) -> str:
+    path = ensure_resize_expected(sf_dir)
+    return f"SELECT media_id, out_bytes, checksum FROM read_parquet('{path}')"

@@ -18,6 +18,7 @@ OPS_QUERIES = {
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_minhash": dedup.q_dedup_minhash,
     "dedup_minhash_pairs": dedup.q_dedup_minhash_pairs,
+    "dedup_ngram": dedup.q_dedup_ngram,
     "dedup_simhash": dedup.q_dedup_simhash,
     "embedding_pairs_exact": dedup.q_embedding_pairs_exact,
     "embedding_neardup_lsh": dedup.q_embedding_neardup_lsh,
@@ -29,6 +30,8 @@ OPS_QUERIES = {
     "ann_ivf_recall": similarity.q_ann_ivf_recall,
     # multimodal plumbing
     "media_features": multimodal.q_media_features,
+    "media_frames": multimodal.q_media_frames,
+    "media_resize": multimodal.q_media_resize,
     "media_stats": multimodal.q_media_stats,
     # stream-shaped aggregations
     "events_hourly": events.q_events_hourly,
@@ -45,6 +48,7 @@ OPS_ORACLES = {
     "dedup_simhash": dedup.sql_dedup_simhash,
     "dedup_minhash": dedup.sql_dedup_minhash,
     "dedup_minhash_pairs": dedup.sql_dedup_minhash_pairs,
+    "dedup_ngram": dedup.sql_dedup_ngram,
     "embedding_pairs_exact": dedup.sql_embedding_pairs_exact,
     "embedding_neardup_lsh": dedup.sql_embedding_neardup_lsh,
     "embedding_neardup_recall": dedup.sql_embedding_neardup_recall,
@@ -53,6 +57,8 @@ OPS_ORACLES = {
     "ann_ivf": similarity.sql_ann_ivf,
     "ann_ivf_recall": similarity.sql_ann_ivf_recall,
     "media_features": multimodal.sql_media_features,
+    "media_frames": multimodal.sql_media_frames,
+    "media_resize": multimodal.sql_media_resize,
     "media_stats": multimodal.sql_media_stats,
     "events_hourly": events.sql_events_hourly,
     "events_sessions": events.sql_events_sessions,

@@ -154,3 +154,55 @@ def test_ann_ivf_shape_and_recall():
     rec = q_ann_ivf_recall(SF, n_queries=4, k=3).to_pandas()
     assert len(rec) == 4
     assert rec["recall_at_k"].mean() >= 0.5   # probe-bounded ANN, not exact
+
+
+def test_dedup_ngram_exact_pairs(planted_docs):
+    """Prefix-filtered inverted index finds exactly the high-jaccard pairs
+    (0-1 exact dup at j=1.0; 2 and 5 are single-word edits of 0/1)."""
+    from olrx.ops.dedup import q_dedup_ngram
+
+    out = q_dedup_ngram(planted_docs, threshold=0.5).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(out.a, out.b)}
+    assert (0, 1) in pairs                       # exact duplicate
+    assert (0, 2) in pairs and (0, 5) in pairs   # near dups of 0
+    assert not any(3 in p or 4 in p for p in pairs)  # unrelated docs
+    j01 = float(out[(out.a == 0) & (out.b == 1)].jaccard.iloc[0])
+    assert j01 == 1.0
+
+
+def test_media_frames_explode_layout():
+    """Frame sampler: 1 payload row → n_frames/stride rows, stride indices,
+    means in [0, 1]; short payloads (< one frame) produce no rows."""
+    import numpy as np
+    from olrx.ops.multimodal import FrameSampler, _FRAME_BYTES, _FRAME_EVERY
+
+    payloads = [bytes(range(256)) * 9,          # 9 frames → idx 0,4,8
+                b"\xff" * (_FRAME_BYTES * 4),   # 4 frames → idx 0
+                b"tiny"]                        # 0 frames
+    t = pa.table({"media_id": pa.array([7, 8, 9], pa.int64()),
+                  "payload": pa.array(payloads, pa.large_binary())})
+    out = FrameSampler()(t)
+    assert out["media_id"].to_pylist() == [7, 7, 7, 8]
+    assert out["frame_idx"].to_pylist() == [0, 4, 8, 0]
+    means = out["f_mean"].to_pylist()
+    assert means[3] == 1.0                      # all-0xff frame
+    assert all(0.0 <= m <= 1.0 for m in means)
+
+
+def test_media_resize_stride_kernel():
+    """Resizer: payloads longer than target subsample to exactly target
+    bytes with floor-stride positions; shorter ones pass through intact."""
+    from olrx.ops.multimodal import MediaResizer, _RESIZE_TARGET
+
+    long = bytes(i % 251 for i in range(5000))
+    short = b"abcd" * 10
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([long, short], pa.large_binary())})
+    out = MediaResizer()(t)
+    got_long = out["payload"][0].as_py()
+    got_short = out["payload"][1].as_py()
+    assert len(got_long) == _RESIZE_TARGET
+    expect = bytes(long[(i * len(long)) // _RESIZE_TARGET]
+                   for i in range(_RESIZE_TARGET))
+    assert got_long == expect
+    assert got_short == short
