@@ -86,10 +86,6 @@ def q_cdc_committed_events(sf_dir: str) -> rd.Dataset:
     def finish(t: pa.Table) -> pa.Table:
         t = t.append_column("op", OP_LETTER.take(t["op_code"].combine_chunks().cast(pa.int32())))
         t = t.drop_columns(["part", "changed_mask", "op_code"])
-        # decode emits dictionary-encoded keys (exchange efficiency); the
-        # query surface is plain strings
-        t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id",
-                         t["conv_id"].cast(pa.string()))
         return t.rename_columns(
             [{"v_role": "role", "v_text": "text", "v_tool": "tool",
               "v_ts": "img_ts", "v_tool_meta": "tool_meta"}.get(c, c)

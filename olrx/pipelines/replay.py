@@ -333,13 +333,10 @@ def _base_as_events(base: pa.Table, m: MF.PartitionManifest) -> pa.Table:
     n = base.num_rows
     payload_all = [nm for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
     cols: dict[str, object] = {}
-    # key columns dictionary-encoded to match decode's event layout (concat
-    # with decoded events requires identical types)
     if "table_name" in base.schema.names:
-        cols["table_name"] = pc.dictionary_encode(
-            base["table_name"].combine_chunks())
+        cols["table_name"] = base["table_name"]
     cols |= {
-        "conv_id": pc.dictionary_encode(base["conv_id"].combine_chunks()),
+        "conv_id": base["conv_id"],
         "turn_idx": base["turn_idx"],
         "op_code": pa.array(np.full(n, 0), pa.int8()),  # OP_I
         "commit_scn": pa.array([m.watermark_commit_scn] * n, pa.int64()),

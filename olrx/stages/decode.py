@@ -435,16 +435,10 @@ class CommitResolver:
         op_code[op_str == "I"] = OP_I
         op_code[op_str == "D"] = OP_D
         cols: dict[str, object] = {}
-        # dictionary-encode the key strings once here: every downstream
-        # consumer (router meta ship, applier folds, merge_apply, the sort
-        # exchange) then works on int32 indices — repeated hash-table builds
-        # over the row-count string column were the folds' dominant cost,
-        # and the exchange ships ~12 B/row less
         if self.include_table:
-            cols["table_name"] = pc.dictionary_encode(
-                final["table_name"].combine_chunks())
+            cols["table_name"] = final["table_name"]
         cols.update({
-            "conv_id": pc.dictionary_encode(final["conv_id"].combine_chunks()),
+            "conv_id": final["conv_id"],
             "turn_idx": final["turn_idx"],
             "op_code": pa.array(op_code, pa.int8()),
             "commit_scn": pa.array(commit_scn, pa.int64()),
@@ -464,10 +458,9 @@ class CommitResolver:
         return pa.table(cols)
 
     def _empty(self) -> pa.Table:
-        key_t = pa.dictionary(pa.int32(), pa.string())
-        fields = ([("table_name", key_t)] if self.include_table else [])
+        fields = ([("table_name", pa.string())] if self.include_table else [])
         fields += [
-            ("conv_id", key_t), ("turn_idx", pa.int32()),
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
             ("op_code", pa.int8()), ("commit_scn", pa.int64()),
             ("scn", pa.int64()), ("scn_idx", pa.int32()),
             ("changed_mask", pa.int32()),
