@@ -132,9 +132,17 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Two-parallelism-level scaling evidence, drift-robust.
+
+    This VM's wall clock drifts ±20-50% over tens of minutes (shared host).
+    Running all lo-CPU reps then all hi-CPU reps lets that drift bias the
+    throughput ratio directly (measured the same commit at 0.60 and 0.85).
+    So: run temporally-ADJACENT (lo, hi) pairs, alternating the order per
+    pair, compute efficiency per pair (drift ~cancels within a pair), and
+    report the MEDIAN pair efficiency plus every pair for transparency."""
     levels = os.environ.get("OLRX_SCALING_LEVELS", "4,16").split(",")
     lo, hi = int(levels[0]), int(levels[1])
-    reps = int(os.environ.get("OLRX_SCALING_REPS", "1"))
+    reps = int(os.environ.get("OLRX_SCALING_REPS", "2"))
 
     def once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -143,24 +151,28 @@ def run_scaling() -> dict:
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    def best(ncpu: int) -> dict:
-        # best-of-N fresh processes per level: the steady-state figure (page
-        # cache + worker-pool effects dominate run-to-run variance, ±20%)
-        runs = [once(ncpu) for _ in range(reps)]
-        return min(runs, key=lambda r: r["value"])
-
-    r_lo, r_hi = best(lo), best(hi)
-    tput_lo = r_lo["events_per_sec"]
-    tput_hi = r_hi["events_per_sec"]
-    eff = (tput_hi / tput_lo) / (hi / lo)  # 1.0 = linear scaling
+    pairs = []
+    for r in range(reps):
+        order = (lo, hi) if r % 2 == 0 else (hi, lo)
+        res = {n: once(n) for n in order}
+        pairs.append((res[lo], res[hi]))
+    effs = sorted((p[1]["events_per_sec"] / p[0]["events_per_sec"]) / (hi / lo)
+                  for p in pairs)
+    med_eff = effs[len(effs) // 2] if reps % 2 else \
+        (effs[reps // 2 - 1] + effs[reps // 2]) / 2
+    r_lo = min((p[0] for p in pairs), key=lambda r: r["value"])
+    r_hi = min((p[1] for p in pairs), key=lambda r: r["value"])
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(med_eff, 3),
         "unit": "ratio",
         "sf": r_lo["sf"],
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "cpus_lo": lo, "cpus_hi": hi, "cpu_ratio": hi / lo,
-        "events_per_sec_lo": tput_lo, "events_per_sec_hi": tput_hi,
+        "events_per_sec_lo": r_lo["events_per_sec"],
+        "events_per_sec_hi": r_hi["events_per_sec"],
+        "pair_efficiencies": [round(e, 3) for e in effs],
+        "pair_walls": [[p[0]["value"], p[1]["value"]] for p in pairs],
         "timings_lo": r_lo.get("timings", {}),
         "timings_hi": r_hi.get("timings", {}),
     }

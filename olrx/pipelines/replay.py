@@ -124,13 +124,22 @@ class ReplayConfig:
             return self.read_blocks
         return 3 * int(ray.cluster_resources().get("CPU", 8))
 
-    def resolved_num_appliers(self) -> int:
+    def resolved_num_appliers(self, input_bytes: int | None = None) -> int:
         if self.num_appliers:
             return self.num_appliers
         # more appliers than CPUs: finalize work is 1-thread-per-actor, so
         # extra actors load-balance the merge phase across whatever CPUs are
         # free (actors are cheap; their heap share shrinks with A)
-        return max(2, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        cap = max(2, 2 * cpus)
+        if input_bytes is None:
+            return cap
+        # size the fleet to the input: actor spawn-to-ready is ~5 s for a
+        # 64-actor fleet — half the wall on a small replay. ~24 MB of input
+        # per applier keeps per-actor heap modest while small inputs spawn
+        # a handful of actors, not 2×CPUs.
+        want = int(input_bytes // (24 * 2**20)) + 1
+        return max(min(8, cap), min(want, cap))
 
 
 @dataclass
@@ -236,7 +245,8 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
     events = _decoded_events(paths, cfg, control, hot=hot)
     if cfg.exchange == "actor":
         from olrx.stages.exchange import run_actor_exchange
-        refs = run_actor_exchange(events, cfg.resolved_num_appliers(), sv,
+        nbytes = sum(os.path.getsize(p) for p in paths)
+        refs = run_actor_exchange(events, cfg.resolved_num_appliers(nbytes), sv,
                                   compact_threshold=cfg.applier_compact_threshold,
                                   as_refs=True, multi_table=cfg.multi_table)
         # result stays distributed: appliers return block refs, the driver
@@ -396,8 +406,9 @@ def replay_to_lake(paths: list[str], out_dir: str,
     span = control.max_txn_span
     if cfg.exchange == "actor":
         from olrx.stages.exchange import run_actor_exchange
+        nbytes = sum(os.path.getsize(p) for p in paths)
         stats = run_actor_exchange(
-            events, cfg.resolved_num_appliers(), sv,
+            events, cfg.resolved_num_appliers(nbytes), sv,
             commit=dict(out_dir=out_dir, safe_watermark=safe_wm,
                         max_commit_scn=max_commit, max_txn_span=span),
             compact_threshold=cfg.applier_compact_threshold,
