@@ -596,3 +596,64 @@ for _n, _q, _s in [("cdc_replay_startpos", q_cdc_replay_startpos, sql_cdc_replay
                    ("cdc_replay_txncap", q_cdc_replay_txncap, sql_cdc_replay_txncap)]:
     CDC_QUERIES[_n] = _q
     CDC_ORACLES[_n] = _s
+
+
+# ---------------------------------------------------------------------------
+# cdc_metrics — lineage counter surface over the lake manifests (§2.5)
+# ---------------------------------------------------------------------------
+
+def q_cdc_metrics(sf_dir: str) -> pa.Table:
+    """End-to-end metrics validation (reference dml_ops / transactions
+    counters, /root/reference/src/common/metrics/Metrics.h): replay the
+    changelog to a fresh lake, then aggregate the per-partition manifest
+    counters — which the exchange records at RECEIVE time, before any fold
+    — into one row. The oracle recomputes the same totals from the raw
+    stream in SQL, so a counter that drifts from the event stream (e.g.
+    compaction folding events away before counting) fails the hash check."""
+    import shutil as _shutil
+
+    from olrx.pipelines.replay import replay_to_lake
+    from olrx.state.metrics import lake_metrics
+
+    paths = changelog_paths_for(sf_dir)
+    out = f"/tmp/olrx_data/metrics-lake-{scale_for_sf_dir(sf_dir)}"
+    _shutil.rmtree(out, ignore_errors=True)
+    replay_to_lake(paths, out, _replay_cfg())
+    m = lake_metrics(out)
+    c = m.counters
+    return pa.table({
+        "rows": pa.array([m.rows], pa.int64()),
+        "n_events": pa.array([c.get("events", 0)], pa.int64()),
+        "n_insert": pa.array([c.get("inserts", 0)], pa.int64()),
+        "n_update": pa.array([c.get("updates", 0)], pa.int64()),
+        "n_delete": pa.array([c.get("deletes", 0)], pa.int64()),
+    })
+
+
+def sql_cdc_metrics(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    return f"""
+WITH commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}') WHERE op = 'C'
+), ev AS (
+  SELECT e.conv_id, e.turn_idx, e.op, e.scn, e.scn_idx, c.commit_scn
+  FROM read_parquet('{g}') e JOIN commits c USING (xid)
+  WHERE e.op IN ('I','U','D')
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                    WHERE p.op = 'PR' AND p.xid = e.xid
+                      AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY commit_scn DESC, scn DESC, scn_idx DESC) AS rn
+  FROM ev
+)
+SELECT (SELECT count(*) FROM last WHERE rn = 1 AND op <> 'D') AS rows,
+       (SELECT count(*) FROM ev) AS n_events,
+       (SELECT count(*) FROM ev WHERE op = 'I') AS n_insert,
+       (SELECT count(*) FROM ev WHERE op = 'U') AS n_update,
+       (SELECT count(*) FROM ev WHERE op = 'D') AS n_delete
+"""
+
+
+CDC_QUERIES["cdc_metrics"] = q_cdc_metrics
+CDC_ORACLES["cdc_metrics"] = sql_cdc_metrics
