@@ -657,3 +657,88 @@ SELECT (SELECT count(*) FROM last WHERE rn = 1 AND op <> 'D') AS rows,
 
 CDC_QUERIES["cdc_metrics"] = q_cdc_metrics
 CDC_ORACLES["cdc_metrics"] = sql_cdc_metrics
+
+
+# ---------------------------------------------------------------------------
+# cdc_validate — block-verifier surface (§2.1 SegmentValidator)
+# ---------------------------------------------------------------------------
+
+def q_cdc_validate(sf_dir: str) -> rd.Dataset:
+    """Per-(shard, seq) segment validation report (reference block verifier,
+    /root/reference/src/reader/Reader.cpp:110-181, re-scoped to the semantic
+    checks parquet doesn't already make): row/DML/control counts, scn range,
+    and violation counters for the SegmentValidator invariants (DML rows
+    with null keys, I/U rows without an after-image). Combiner pattern:
+    per-batch partials → small groupby."""
+    paths = changelog_paths_for(sf_dir)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = rd.read_parquet(paths,
+                         columns=["op", "conv_id", "turn_idx", "after",
+                                  "shard", "seq", "scn"],
+                         override_num_blocks=max(2, cpus // 2))
+
+    def partial(t: pa.Table) -> pa.Table:
+        op = t["op"]
+        is_dml = pc.is_in(op, value_set=pa.array(["I", "U", "D"]))
+        is_iu = pc.is_in(op, value_set=pa.array(["I", "U"]))
+        bad_key = pc.and_(is_dml, pc.or_(pc.is_null(t["conv_id"]),
+                                         pc.is_null(t["turn_idx"])))
+        bad_img = pc.and_(is_iu, pc.is_null(t["after"]))
+        g = pa.table({
+            "shard": t["shard"].cast(pa.int32()),
+            "seq": t["seq"].cast(pa.int32()),
+            "n_rows": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_dml": is_dml.cast(pa.int64()),
+            "scn_min": t["scn"], "scn_max": t["scn"],
+            "n_bad_key": bad_key.cast(pa.int64()),
+            "n_bad_image": bad_img.cast(pa.int64()),
+        }).group_by(["shard", "seq"]).aggregate(
+            [("n_rows", "sum"), ("n_dml", "sum"), ("scn_min", "min"),
+             ("scn_max", "max"), ("n_bad_key", "sum"), ("n_bad_image", "sum")])
+        return g.rename_columns(["shard", "seq", "n_rows", "n_dml",
+                                 "scn_min", "scn_max", "n_bad_key",
+                                 "n_bad_image"])
+
+    from ray.data.aggregate import Max, Min, Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["shard", "seq"])
+             .aggregate(Sum("n_rows", alias_name="n_rows"),
+                        Sum("n_dml", alias_name="n_dml"),
+                        Min("scn_min", alias_name="scn_min"),
+                        Max("scn_max", alias_name="scn_max"),
+                        Sum("n_bad_key", alias_name="n_bad_key"),
+                        Sum("n_bad_image", alias_name="n_bad_image")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "shard": t["shard"].cast(pa.int32()),
+            "seq": t["seq"].cast(pa.int32()),
+            "n_rows": t["n_rows"].cast(pa.int64()),
+            "n_dml": t["n_dml"].cast(pa.int64()),
+            "scn_min": t["scn_min"].cast(pa.int64()),
+            "scn_max": t["scn_max"].cast(pa.int64()),
+            "n_bad_key": t["n_bad_key"].cast(pa.int64()),
+            "n_bad_image": t["n_bad_image"].cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_cdc_validate(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    return f"""
+SELECT CAST(shard AS INTEGER) AS shard, CAST(seq AS INTEGER) AS seq,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE op IN ('I','U','D')) AS n_dml,
+       min(scn) AS scn_min, max(scn) AS scn_max,
+       count(*) FILTER (WHERE op IN ('I','U','D')
+                        AND (conv_id IS NULL OR turn_idx IS NULL)) AS n_bad_key,
+       count(*) FILTER (WHERE op IN ('I','U')
+                        AND after IS NULL) AS n_bad_image
+FROM read_parquet('{g}')
+GROUP BY shard, seq
+"""
+
+
+CDC_QUERIES["cdc_validate"] = q_cdc_validate
+CDC_ORACLES["cdc_validate"] = sql_cdc_validate
