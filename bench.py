@@ -173,6 +173,10 @@ def run_scaling() -> dict:
         "events_per_sec_hi": r_hi["events_per_sec"],
         "pair_efficiencies": [round(e, 3) for e in effs],
         "pair_walls": [[p[0]["value"], p[1]["value"]] for p in pairs],
+        # every run's phase breakdown — slow-mode runs (this host shows a
+        # rare ~2× wall mode) are diagnosable after the fact
+        "pair_timings": [[p[0].get("timings", {}), p[1].get("timings", {})]
+                         for p in pairs],
         "timings_lo": r_lo.get("timings", {}),
         "timings_hi": r_hi.get("timings", {}),
     }
