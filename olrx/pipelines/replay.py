@@ -10,9 +10,12 @@ table, then stop. Offline/tail mode (re-run over a growing directory,
 Pipeline shape (one wide exchange, SURVEY §4.2):
 
     read_parquet(segments, columns=pruned)          # stateless IO tasks
-      → map_batches(CommitResolver, actor pool)     # filter+join+flatten+part
-      → groupby("part").map_groups(apply)           # THE shuffle; per-partition
-                                                    # sort-merge-upsert
+      → map_batches(CommitResolver)                 # filter+join+flatten+part
+      → THE exchange                                # default "actor": late-
+        (stages/exchange.py)                        # materialization applier
+                                                    # routing; "groupby" =
+                                                    # Dataset-native sort
+                                                    # shuffle + merge_apply
       → rows (dataset mode) | parquet + manifest per partition (lake mode)
 
 plus one earlier pruned-column pass (``load_control``) that reads only
