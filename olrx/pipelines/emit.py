@@ -45,6 +45,20 @@ MESSAGE_COLUMNS = ["scn", "scn_idx", "xid", "op", "conv_id", "turn_idx",
 _COMMIT_IDX = 1 << 30
 _CHKPT_IDX = (1 << 30) + 1
 
+#: committed txns per output bucket (≈10 messages/txn → ~200k messages and
+#: tens of MB of NDJSON per bucket/file — the reference's max-file-size
+#: rotation analog, /root/reference/src/writer/WriterFile.cpp:203-300)
+TXNS_PER_BUCKET = 20_000
+
+
+def derived_scn_buckets(n_txns: int, txns_per_bucket: int = TXNS_PER_BUCKET) -> int:
+    """Input-sized bucket count: one ``map_groups`` task materializes one
+    bucket, so a FIXED bucket count means bucket size grows linearly with the
+    input (1/64th of 10^10 events in one worker = OOM). Derived from the
+    committed-txn count — known exactly on both the Ray side (commit map) and
+    the SQL oracle side (``count(*) FROM commits``) so chkpt counts agree."""
+    return max(1, (int(n_txns) + txns_per_bucket - 1) // txns_per_bucket)
+
 
 def _jstr(col):
     """Polars expr: JSON-encode a string column INCLUDING quotes/escapes,
@@ -57,13 +71,18 @@ def _jstr(col):
 
 
 def message_stream(paths: list[str], cfg: ReplayConfig | None = None,
-                   scn_buckets: int = 64) -> rd.Dataset:
+                   scn_buckets: int | None = None,
+                   txns_per_bucket: int = TXNS_PER_BUCKET) -> rd.Dataset:
     """Dataset of one JSON envelope line per message, reference-shaped:
     begin / DML (with before+after) / commit per txn, ddl records, and one
     chkpt per commit-SCN bucket. Ordered within each bucket by
-    (commit_scn, kind, scn, scn_idx)."""
+    (commit_scn, kind, scn, scn_idx). ``scn_buckets=None`` (default) sizes
+    the bucket count to the input via ``derived_scn_buckets``."""
     cfg = cfg or ReplayConfig()
     control = load_control(paths)
+    if scn_buckets is None:
+        scn_buckets = derived_scn_buckets(control.commit_map.num_rows,
+                                          txns_per_bucket)
     lo, hi = 0, max(1, control.max_commit_scn)
     span = max(1, (hi - lo) // scn_buckets + 1)
     bc_ref = ray.put(control.decode_broadcast())
@@ -227,8 +246,12 @@ def message_stream(paths: list[str], cfg: ReplayConfig | None = None,
         chkpt = chkpt.with_columns(pl.col("c_scn").cast(pl.Int64),
                                    pl.col("order_idx").cast(pl.Int64))
 
+        # maintain_order: inputs are already xid-ordered within commit_scn
+        # (the Arrow sort above / txn_starts order), so a stable sort keeps
+        # the tie interleaving of equal (c_scn, order_idx) rows byte-for-byte
+        # reproducible across runs (polars default is non-stable)
         out = (pl.concat([begin, ev, commit, chkpt])
-                 .sort(["c_scn", "order_idx"])
+                 .sort(["c_scn", "order_idx"], maintain_order=True)
                  .with_columns(pl.lit(bucket).cast(pl.Int32)
                                .alias("scn_bucket")))
         return (out.select(["c_scn", "order_idx", "scn_bucket", "msg"])

@@ -192,11 +192,25 @@ GROUP BY xid
 # ---------------------------------------------------------------------------
 
 def q_cdc_shard_watermarks(sf_dir: str) -> pa.Table:
+    """Combiner pattern: per-block partial (shard, max_scn, n_rows) rows —
+    O(#shards) each — then a tiny groupby over the partials. Coarse blocks
+    (same fix as q_cdc_txn_stats): Ray's default per-file splitting turns a
+    2-column scan into ~100 ms-scale tasks whose Aggregate shuffle is pure
+    overhead (r2 bench regressed 2.8× without this)."""
     paths = changelog_paths_for(sf_dir)
-    ds = rd.read_parquet(paths, columns=["shard", "scn", "op"])
-    from ray.data.aggregate import Count, Max
-    out = ds.groupby("shard").aggregate(
-        Max("scn", alias_name="max_scn"), Count(alias_name="n_rows"))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = rd.read_parquet(paths, columns=["shard", "scn"],
+                         override_num_blocks=max(2, cpus // 2))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("shard").aggregate([("scn", "max"), ("scn", "count")])
+        return g.rename_columns(["shard", "max_scn", "n_rows"])
+
+    from ray.data.aggregate import Max, Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("shard")
+             .aggregate(Max("max_scn", alias_name="max_scn"),
+                        Sum("n_rows", alias_name="n_rows")))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.cast(pa.schema([("shard", pa.int16()), ("max_scn", pa.int64()),
                              ("n_rows", pa.int64())]))
@@ -423,12 +437,17 @@ def q_cdc_message_stream(sf_dir: str) -> pa.Table:
 
 
 def sql_cdc_message_stream(sf_dir: str) -> str:
+    from olrx.pipelines.emit import TXNS_PER_BUCKET
     g = _glob_sql(sf_dir)
+    tpb = int(TXNS_PER_BUCKET)
     return f"""
 WITH commits AS (
   SELECT xid, scn AS commit_scn FROM read_parquet('{g}') WHERE op = 'C'
 ), sp AS (
-  SELECT greatest(1, CAST(max(commit_scn) AS BIGINT) // 64 + 1) AS span
+  -- mirrors emit.derived_scn_buckets: buckets = ceil(#commits / {tpb}),
+  -- span = max(1, max_commit_scn) // buckets + 1
+  SELECT CAST(greatest(1, max(commit_scn)) AS BIGINT) //
+         greatest(1, (count(*) + {tpb - 1}) // {tpb}) + 1 AS span
   FROM commits
 ), dml AS (
   SELECT e.xid, e.op FROM read_parquet('{g}') e

@@ -78,11 +78,14 @@ class ReplayConfig:
     num_appliers: int | None = None   # None → 2× CPUs
     #: applier memory bound, ON by default (judge r1): when an applier's
     #: un-compacted buffer exceeds max(this, rows already folded), fold it
-    #: into the per-key winner set (compact_events, a proven semigroup) via
-    #: an OFF-PATH Ray task (the actor's message loop never blocks). The
+    #: into the per-key winner set (compact_events, a proven semigroup)
+    #: INLINE in add_shard — meta-only folding is an int lexsort with no
+    #: payload bytes, and the ±25% per-applier stagger keeps the fleet from
+    #: folding in lockstep (see exchange.PartitionApplier.add_shard). The
     #: geometric trigger doubles fold sizes, so total compaction work is
     #: O(stream) while live state stays O(winner set + one buffer of equal
-    #: size). 1M rows ≈ 150 MB floor per applier. 0 = off.
+    #: size). 1M rows ≈ 150 MB floor per applier (meta only — payload stays
+    #: in plasma). 0 = off.
     applier_compact_threshold: int = 1_000_000
     #: user-facing filters (reference §2.6)
     skip_xids: tuple[str, ...] = ()      # drop named transactions
@@ -95,6 +98,12 @@ class ReplayConfig:
     #: not read — txns straddling the boundary replay partially, as in the
     #: reference when starting mid-stream)
     start_time_us: int | None = None
+    #: start-time-rel (reference OpenLogReplicator.cpp:533-558): replay txns
+    #: committed within the last N µs. The reference anchors "now" at process
+    #: wall clock; an offline batch replay anchors it at the stream head (max
+    #: commit timestamp in the input) so the position is deterministic for a
+    #: closed log set — documented deviation.
+    start_time_rel_us: int | None = None
     start_seq: int | None = None
     #: big-transaction guard (reference transaction-max-mb drop,
     #: /root/reference/src/parser/Transaction.cpp:519-538 / Parser.cpp:717-726):
@@ -168,6 +177,20 @@ def resolve_start_time(paths: list[str], start_time_us: int) -> int:
     return int(pc.min(t["scn"]).as_py()) - 1
 
 
+def resolve_start_time_rel(paths: list[str], rel_us: int) -> int:
+    """start-time-rel → absolute start time: stream-head commit timestamp
+    minus the relative offset (reference start-time-rel,
+    OpenLogReplicator.cpp:533-558; "now" = max commit ts of the closed input
+    so the position is deterministic). One pruned (ts, op) scan."""
+    import pyarrow.dataset as pads
+    dset = pads.dataset(paths, format="parquet")
+    t = dset.to_table(columns=["ts"], filter=pc.field("op") == "C")
+    if t.num_rows == 0:
+        return np.iinfo(np.int64).max - 1
+    head_us = pc.max(t["ts"]).cast(pa.int64()).as_py()
+    return head_us - rel_us
+
+
 def filter_paths_by_seq(paths: list[str], start_seq: int) -> list[str]:
     """start-seq position: keep segments with sequence ≥ start_seq. Segment
     files embed their sequence (shardSS-segQQQQ.parquet); files that don't
@@ -208,8 +231,12 @@ def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
     if hot:
         hot_ref = ray.put(hot)
     floor = max(min_commit_scn_excl, cfg.start_commit_scn)
-    if cfg.start_time_us is not None:
-        floor = max(floor, resolve_start_time(paths, cfg.start_time_us))
+    start_time_us = cfg.start_time_us
+    if cfg.start_time_rel_us is not None:
+        rel_abs = resolve_start_time_rel(paths, cfg.start_time_rel_us)
+        start_time_us = max(start_time_us or 0, rel_abs)
+    if start_time_us is not None:
+        floor = max(floor, resolve_start_time(paths, start_time_us))
     if cfg.start_seq is not None:
         paths = filter_paths_by_seq(paths, cfg.start_seq)
     skip = cfg.skip_xids

@@ -131,3 +131,26 @@ def test_multitable_twin_keys_stay_separate(tmp_path):
     fcfg = ReplayConfig(num_partitions=16, multi_table=True, table_regex="^t0$")
     got0 = replay_dataset(paths, fcfg).dataset.to_pandas()
     assert set(got0["table_name"]) == {"t0"}
+
+
+def test_start_time_rel_matches_absolute(gen_small):
+    """start-time-rel resolves to head-ts − rel and then behaves exactly like
+    the absolute start-time position (reference start-time-rel,
+    OpenLogReplicator.cpp:533-558)."""
+    from olrx.pipelines.replay import resolve_start_time_rel
+
+    _, _, paths, _ = gen_small
+    head_us = resolve_start_time_rel(paths, 0)
+    rel = 3_600_000_000  # last hour of the stream
+    rcfg_rel = ReplayConfig(num_partitions=8, start_time_rel_us=rel)
+    rcfg_abs = ReplayConfig(num_partitions=8, start_time_us=head_us - rel)
+    got_rel = sorted_table(replay_dataset(paths, rcfg_rel).dataset)
+    got_abs = sorted_table(replay_dataset(paths, rcfg_abs).dataset)
+    assert got_rel.equals(got_abs)
+    # a window covering the whole stream reduces to the full replay
+    full_win = ReplayConfig(num_partitions=8,
+                            start_time_rel_us=10**15)
+    got_all = sorted_table(replay_dataset(paths, full_win).dataset)
+    got_plain = sorted_table(
+        replay_dataset(paths, ReplayConfig(num_partitions=8)).dataset)
+    assert got_all.equals(got_plain)

@@ -115,3 +115,27 @@ def test_message_stream_envelope_shape(tmp_path):
             by_xid.setdefault(m["xid"], []).append(m["payload"][0]["op"])
     for xid, seq in by_xid.items():
         assert seq[0] == "begin" and seq[-1] == "commit", (xid, seq[:3])
+
+
+def test_scn_buckets_scale_with_input(gen_small):
+    """Bucket count is input-sized (WriterFile max-file-size rotation analog,
+    reference WriterFile.cpp:203-300): fixed 64 buckets would mean bucket
+    size — one map_groups task's materialization — grows linearly with the
+    stream."""
+    from olrx.pipelines.emit import TXNS_PER_BUCKET, derived_scn_buckets, \
+        message_stream
+
+    # formula: grows linearly with committed-txn count
+    assert derived_scn_buckets(1) == 1
+    assert derived_scn_buckets(TXNS_PER_BUCKET) == 1
+    assert derived_scn_buckets(TXNS_PER_BUCKET + 1) == 2
+    assert derived_scn_buckets(100 * TXNS_PER_BUCKET) == 100
+    # integration: a small per-bucket target yields multiple buckets, each
+    # closed by its own chkpt record
+    _, _, paths, _ = gen_small
+    df = message_stream(paths, ReplayConfig(num_partitions=8),
+                        txns_per_bucket=10).to_pandas()
+    n_buckets = df["scn_bucket"].nunique()
+    assert n_buckets > 1
+    chkpts = df[df["msg"].str.contains('"op": "chkpt"')]
+    assert len(chkpts) == n_buckets
