@@ -10,6 +10,8 @@ stage with one-time init, and the output layout a real decoder would feed.
 
 from __future__ import annotations
 
+from olrx.ops.scaling import actor_pool
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -123,7 +125,7 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     path = ensure_media(sf_dir)
     ds = rd.read_parquet(path, columns=["media_id", "kind", "payload"])
     return ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
-                          batch_size=256, concurrency=2, num_cpus=1)
+                          batch_size=256, concurrency=actor_pool(), num_cpus=1)
 
 
 def q_media_stats(sf_dir: str) -> pa.Table:
@@ -271,7 +273,7 @@ def q_media_frames(sf_dir: str) -> rd.Dataset:
     path = ensure_media(sf_dir)
     ds = rd.read_parquet(path, columns=["media_id", "payload"])
     return ds.map_batches(FrameSampler, batch_format="pyarrow",
-                          batch_size=256, concurrency=2, num_cpus=1)
+                          batch_size=256, concurrency=actor_pool(), num_cpus=1)
 
 
 def _naive_frames(payload: bytes, frame_bytes: int = _FRAME_BYTES,
@@ -381,7 +383,7 @@ def q_media_resize(sf_dir: str) -> rd.Dataset:
     path = ensure_media(sf_dir)
     ds = rd.read_parquet(path, columns=["media_id", "payload"])
     resized = ds.map_batches(MediaResizer, batch_format="pyarrow",
-                             batch_size=256, concurrency=2, num_cpus=1)
+                             batch_size=256, concurrency=actor_pool(), num_cpus=1)
 
     def summarize(t: pa.Table) -> pa.Table:
         col = t["payload"]

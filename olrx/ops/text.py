@@ -7,6 +7,8 @@ actor pools — state built once per worker (`__init__`), applied per batch.
 
 from __future__ import annotations
 
+from olrx.ops.scaling import actor_pool
+
 import re
 
 import numpy as np
@@ -325,7 +327,7 @@ FROM fp
 def q_text_stats(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(TextStats, batch_format="pyarrow", batch_size=8192,
-                          concurrency=2)
+                          concurrency=actor_pool())
 
 
 def sql_text_stats(sf_dir: str) -> str:
@@ -364,13 +366,13 @@ FROM w
 def q_text_quality(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(QualityScore, batch_format="pandas", batch_size=4096,
-                          concurrency=2)
+                          concurrency=actor_pool())
 
 
 def q_lang_id(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pandas", batch_size=4096,
-                          concurrency=2)
+                          concurrency=actor_pool())
 
 
 def q_fingerprints(sf_dir: str) -> rd.Dataset:

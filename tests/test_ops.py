@@ -206,3 +206,15 @@ def test_media_resize_stride_kernel():
                    for i in range(_RESIZE_TARGET))
     assert got_long == expect
     assert got_short == short
+
+
+def test_dedup_ngram_join_path_matches_broadcast(planted_docs):
+    """The distributed co-partitioned df join (vocab above the broadcast cap)
+    returns the identical pair set: forcing broadcast_vocab_cap=0 exercises
+    the join + groupby(doc_id) regroup path."""
+    from olrx.ops.dedup import ngram_exact_pairs
+
+    bcast = ngram_exact_pairs(planted_docs, threshold=0.5).to_pandas()
+    joined = ngram_exact_pairs(planted_docs, threshold=0.5,
+                               broadcast_vocab_cap=0).to_pandas()
+    assert bcast.equals(joined)
