@@ -48,34 +48,103 @@ def _resolve_paths(source: dict) -> list[str]:
     raise ValueError("job.source needs 'paths' or 'directory'")
 
 
-def run_job(spec: "str | dict") -> ReplayResult:
-    job = load_job(spec)
+def _build_config(job: dict) -> ReplayConfig:
     source = job.get("source", {})
     filt = job.get("filter", {})
     target = job.get("target", {})
     mode = job.get("mode", "batch")
-    if mode not in ("batch", "tail"):
-        raise ValueError(f"unknown mode {mode!r}")
-
-    paths = _resolve_paths(source)
-    if not paths:
-        raise ValueError("no input segments matched the job source")
-    uri = target.get("uri")
-    if not uri:
-        raise ValueError("job.target.uri is required")
-
-    cfg = ReplayConfig(
+    return ReplayConfig(
         num_partitions=int(target.get("num_partitions", 64)),
         salt_hot=bool(target.get("salt_hot", False)),
         skip_xids=tuple(filt.get("skip_xids", ())),
         conv_regex=filt.get("conv_regex"),
         condition=filt.get("condition"),
         start_commit_scn=int(filt.get("start_commit_scn", -1)),
+        table_regex=filt.get("table_regex"),
+        multi_table=bool(target.get("multi_table", False)),
         assume_complete_input=(mode == "batch"),
         expected_shards=(tuple(source["expected_shards"])
                          if "expected_shards" in source else None),
     )
-    return replay_to_lake(paths, uri, cfg, resume=True)
+
+
+def run_job(spec: "str | dict") -> ReplayResult:
+    job = load_job(spec)
+    mode = job.get("mode", "batch")
+    if mode not in ("batch", "tail"):
+        raise ValueError(f"unknown mode {mode!r}")
+    paths = _resolve_paths(job.get("source", {}))
+    if not paths:
+        raise ValueError("no input segments matched the job source")
+    uri = job.get("target", {}).get("uri")
+    if not uri:
+        raise ValueError("job.target.uri is required")
+    return replay_to_lake(paths, uri, _build_config(job), resume=True)
+
+
+class TailSession:
+    """Long-running tail loop with LIVE config reload — the reference
+    watches the config file's mtime and rebuilds its filter maps without a
+    restart (/root/reference/src/metadata/Checkpoint.cpp:59-271); here each
+    tail iteration re-stats the spec file and rebuilds the ReplayConfig when
+    it changed, so a filter edit (table_regex, skip_xids, condition, …)
+    takes effect at the next iteration with no job bounce. Manifests keep
+    the iterations idempotent regardless of when the config flips: already-
+    confirmed partitions are watermark-skipped, only new/now-tracked data
+    is applied."""
+
+    def __init__(self, spec_path: str) -> None:
+        self.spec_path = spec_path
+        self._mtime_ns: int | None = None
+        self.job: dict = {}
+        self.cfg: ReplayConfig | None = None
+        self.reloads = 0
+        self._reload_if_changed()
+
+    def _reload_if_changed(self) -> bool:
+        st = os.stat(self.spec_path)
+        if st.st_mtime_ns == self._mtime_ns:
+            return False
+        job = load_job(self.spec_path)
+        if job.get("mode", "tail") != "tail":
+            raise ValueError("TailSession requires a job spec with mode='tail'")
+        job["mode"] = "tail"
+        if not job.get("target", {}).get("uri"):
+            raise ValueError("job.target.uri is required")
+        self.job, self.cfg = job, _build_config(job)
+        self._mtime_ns = st.st_mtime_ns
+        self.reloads += 1
+        return True
+
+    def run_once(self) -> ReplayResult:
+        """One tail iteration: pick up config edits, re-scan the source
+        directory (new segments appear between iterations), replay whatever
+        is past the manifests' watermarks."""
+        self._reload_if_changed()
+        paths = _resolve_paths(self.job.get("source", {}))
+        if not paths:
+            raise ValueError("no input segments matched the job source")
+        return replay_to_lake(paths, self.job["target"]["uri"], self.cfg,
+                              resume=True)
+
+
+def run_tail(spec_path: str, iterations: int | None = None,
+             poll_interval_s: float = 5.0) -> list[ReplayResult]:
+    """Drive a TailSession: ``iterations=None`` loops until interrupted
+    (deployment form — run under a supervisor); a finite count is the
+    test/cron form. Sleeps between iterations; config edits and new
+    segments are picked up at each turn."""
+    import time
+
+    sess = TailSession(spec_path)
+    out: list[ReplayResult] = []
+    i = 0
+    while iterations is None or i < iterations:
+        out.append(sess.run_once())
+        i += 1
+        if iterations is None or i < iterations:
+            time.sleep(poll_interval_s)
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:

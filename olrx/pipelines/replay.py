@@ -298,11 +298,20 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
 
     ``counters``: exact pre-compaction stream counts from the exchange (the
     in-``group`` events may already be folded to winners); None → count the
-    group directly (groupby path, where events are never folded)."""
+    group directly (groupby path, where events are never folded). The
+    exchange stamps ``_wm`` = the per-partition watermark its receive-time
+    counts already excluded — when it matches this partition's manifest
+    watermark, the counts stay stream-exact through the resume filter with
+    no recount (r2 advisory); a mismatch (retried finalize after a partial
+    tail commit) falls back to recounting the folded winners."""
     part = int(group["part"][0].as_py())
     mdir = os.path.join(out_dir, "_manifest")
     prev = MF.read_manifest(mdir, part)
-    if counters is None:
+    wm_counted = -1
+    if counters is not None:
+        counters = dict(counters)
+        wm_counted = counters.pop("_wm", -1)
+    else:
         counters = apply_stats(group)
     target_watermark = max(safe_watermark, prev.watermark_commit_scn if prev else -1)
 
@@ -315,9 +324,9 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
         n_before = group.num_rows
         group = group.filter(pc.greater(group["commit_scn"],
                                         prev.watermark_commit_scn))
-        if group.num_rows != n_before or counters.get("events", -1) < 0:
-            # re-count only when the filter actually dropped rows (exchange-
-            # provided stream counters stay exact otherwise)
+        if group.num_rows != n_before and prev.watermark_commit_scn != wm_counted:
+            # the filter dropped rows the counters still include — recount
+            # (counters from a watermark-aware exchange already exclude them)
             counters = apply_stats(group)
         base = _read_base(out_dir, prev)
         if base is not None and base.num_rows:
@@ -437,12 +446,23 @@ def replay_to_lake(paths: list[str], out_dir: str,
     if cfg.exchange == "actor":
         from olrx.stages.exchange import run_actor_exchange
         nbytes = sum(os.path.getsize(p) for p in paths)
+        # per-partition confirmed watermarks (resume): receive-time lineage
+        # counters exclude rows the commit path's watermark filter will drop,
+        # so manifest counters stay stream-exact across resumes (r2 advisory)
+        wms = None
+        if resume:
+            ms = MF.read_all(mdir)
+            if ms:
+                wms = np.full(cfg.num_partitions, -1, np.int64)
+                for p, m in ms.items():
+                    if 0 <= p < cfg.num_partitions:
+                        wms[p] = m.watermark_commit_scn
         stats = run_actor_exchange(
             events, cfg.resolved_num_appliers(nbytes), sv,
             commit=dict(out_dir=out_dir, safe_watermark=safe_wm,
                         max_commit_scn=max_commit, max_txn_span=span),
             compact_threshold=cfg.applier_compact_threshold,
-            multi_table=cfg.multi_table)
+            multi_table=cfg.multi_table, part_watermarks=wms)
         MF.write_lake_watermark(mdir, safe_wm, sv)
         return ReplayResult(control=control, stats=stats, out_dir=out_dir)
     stats_ds = events.groupby("part").map_groups(
