@@ -17,6 +17,7 @@ OPS_QUERIES = {
     # dedup
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_minhash": dedup.q_dedup_minhash,
+    "dedup_minhash_dist": dedup.q_dedup_minhash_dist,
     "dedup_minhash_pairs": dedup.q_dedup_minhash_pairs,
     "dedup_ngram": dedup.q_dedup_ngram,
     "dedup_simhash": dedup.q_dedup_simhash,
@@ -47,6 +48,7 @@ OPS_ORACLES = {
     "dedup_exact": dedup.sql_dedup_exact,
     "dedup_simhash": dedup.sql_dedup_simhash,
     "dedup_minhash": dedup.sql_dedup_minhash,
+    "dedup_minhash_dist": dedup.sql_dedup_minhash,  # identical closure
     "dedup_minhash_pairs": dedup.sql_dedup_minhash_pairs,
     "dedup_ngram": dedup.sql_dedup_ngram,
     "embedding_pairs_exact": dedup.sql_embedding_pairs_exact,

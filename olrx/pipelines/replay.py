@@ -114,6 +114,11 @@ class ReplayConfig:
     #: key state on (table_name, conv_id, turn_idx); output carries table_name
     multi_table: bool = False
     table_regex: str | None = None       # owner/table tracking filter
+    #: parquet codec for lake snapshots. zstd-1 (default) writes ~3× fewer
+    #: bytes than snappy on chat text: at cluster scale the write leg is
+    #: bound by storage bandwidth shared across appliers, while finalize
+    #: CPUs have headroom — the same trade the exchange blobs make.
+    output_codec: str = "zstd"
     extra: dict = field(default_factory=dict)
 
     def safe_watermark(self, control: ControlInfo) -> int:
@@ -290,7 +295,8 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
 def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
                       safe_watermark: int, max_commit_scn: int,
                       max_txn_span: int = 0,
-                      counters: "dict[str, int] | None" = None) -> pa.Table:
+                      counters: "dict[str, int] | None" = None,
+                      output_codec: str = "zstd") -> pa.Table:
     """Lake-mode per-partition apply: merge with base state, write parquet
     atomically, then publish the manifest. Idempotent under task retries:
     a retry re-reads the (old) manifest, recomputes the same bytes and
@@ -340,7 +346,11 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
     fname = f"data-w{target_watermark}.parquet"
     fpath = os.path.join(part_dir, fname)
     tmp = fpath + f".tmp.{os.getpid()}"
-    pq.write_table(final, tmp)
+    # zstd-1 snapshots: ~3× fewer disk/storage bytes than snappy on text —
+    # the write leg shares one storage backend across all appliers, while
+    # finalize CPUs have headroom (measured: the hi-CPU leg is write-bound)
+    pq.write_table(final, tmp, compression=output_codec,
+                   compression_level=1 if output_codec == "zstd" else None)
     os.replace(tmp, fpath)
 
     m = MF.PartitionManifest(
@@ -460,13 +470,15 @@ def replay_to_lake(paths: list[str], out_dir: str,
         stats = run_actor_exchange(
             events, cfg.resolved_num_appliers(nbytes), sv,
             commit=dict(out_dir=out_dir, safe_watermark=safe_wm,
-                        max_commit_scn=max_commit, max_txn_span=span),
+                        max_commit_scn=max_commit, max_txn_span=span,
+                        output_codec=cfg.output_codec),
             compact_threshold=cfg.applier_compact_threshold,
             multi_table=cfg.multi_table, part_watermarks=wms)
         MF.write_lake_watermark(mdir, safe_wm, sv)
         return ReplayResult(control=control, stats=stats, out_dir=out_dir)
     stats_ds = events.groupby("part").map_groups(
-        lambda g: _apply_and_commit(g, out_dir, sv, safe_wm, max_commit, span),
+        lambda g: _apply_and_commit(g, out_dir, sv, safe_wm, max_commit, span,
+                                    output_codec=cfg.output_codec),
         batch_format="pyarrow")
     stats_df = stats_ds.to_pandas()
     if stats_df.empty:  # nothing new anywhere (all dropped at the floor)

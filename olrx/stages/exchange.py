@@ -21,16 +21,18 @@ exchanged bytes ~3×, makes compaction ~10× cheaper (int sorts, no payload
 gather), and on a multi-node cluster turns payload movement into a
 winners-only fetch.
 
-Memory: applier heap holds meta only (deep-copied out of the object store),
-folded to the per-key influence set (``compact_events`` — a proven
-semigroup, tests/test_property.py) whenever the un-folded tail exceeds
+Memory: applier heap holds the un-folded meta tail (deep-copied out of the
+object store) plus the materialized WINNER set. Whenever the tail exceeds
 ``compact_threshold`` rows (geometric trigger: the fold threshold rises to
-the folded size, keeping total fold work linear in the stream). Payload
-blobs live in plasma — which spills to disk under pressure — until
-finalize; size the object store to the replay window's payload share
-(``bench.py`` sizes it to ~55 % of RAM; an undersized store does not fail,
-it throttles the streaming executor — measured 1.8× wall at 4 CPUs). This
-is the TransactionBuffer big-txn swap analog
+the folded size, keeping total fold work linear in the stream), the fold
+compacts it to the per-key influence set (``compact_events`` — a proven
+semigroup, tests/test_property.py) AND materializes those winners' payload
+immediately (r3), releasing the consumed blobs — so plasma holds only the
+since-last-fold payload share, decompression overlaps the routing window,
+and finalize starts from pre-gathered winners. Size the object store to
+that share (``bench.py`` sizes it to ~55 % of RAM; an undersized store
+does not fail, it throttles the streaming executor — measured 1.8× wall at
+4 CPUs). This is the TransactionBuffer big-txn swap analog
 (/root/reference/src/common/MemoryManager.cpp:197-260).
 
 Completion is fenced by COUNT, not by acks: routers report how many shards
@@ -44,12 +46,12 @@ digest), so both the folded meta AND the lineage counters stay exact under
 Ray task retry. The fence still passes (duplicate deliveries only ever
 push `received` ABOVE the completed-task total).
 
-Payload blobs are zstd-compressed Arrow IPC by default (r3,
-``OLRX_BLOB_CODEC`` ∈ zstd|lz4|none): the exchange's scarce resource on a
+Payload blobs are lz4-compressed Arrow IPC by default (r3,
+``OLRX_BLOB_CODEC`` ∈ lz4|zstd|none): the exchange's scarce resource on a
 bandwidth-bound host — and the cross-node network at cluster scale — is
-payload bytes, and chat text compresses ~3-5×; decompression happens
-per-blob at finalize, chunked so applier heap holds only a few decoded
-blobs at a time.
+payload bytes, and chat text compresses ~2.5× even under lz4;
+decompression happens per-blob at each FOLD (not piled up at finalize),
+chunked so applier heap holds only a few decoded blobs at a time.
 """
 
 from __future__ import annotations
@@ -123,11 +125,13 @@ def _merge_counts(parts: list[np.ndarray]) -> np.ndarray:
 
 
 def default_blob_codec() -> str:
-    """Payload-blob codec (``OLRX_BLOB_CODEC``: zstd | lz4 | none). Default
-    zstd level 1: the exchange is DRAM/network-bandwidth-bound while route
-    CPUs have headroom, so cheap compression trades spare cycles for the
-    scarce bytes (~3-5× on chat text)."""
-    return os.environ.get("OLRX_BLOB_CODEC", "zstd").strip().lower()
+    """Payload-blob codec (``OLRX_BLOB_CODEC``: lz4 | zstd | none). Default
+    lz4: the exchange is DRAM/network-bandwidth-bound while route CPUs have
+    headroom, so cheap compression trades spare cycles for the scarce bytes.
+    Measured at scale 8 / 16 CPUs: lz4 42.4 s vs zstd 62.1 s vs none 81.3 s
+    end-to-end (lz4's ~2.5× byte cut at near-memcpy speed beats zstd's ~4×
+    at real CPU cost on this workload)."""
+    return os.environ.get("OLRX_BLOB_CODEC", "lz4").strip().lower()
 
 
 def _encode_payload(t: pa.Table, codec: str):
@@ -184,11 +188,12 @@ def materialize_events(meta: pa.Table, blobs: dict) -> pa.Table:
     return pa.table(cols)
 
 
-@ray.remote
+@ray.remote(concurrency_groups={"control": 1})
 class PartitionApplier:
     """Owns `num_partitions / num_appliers` hash partitions; buffers the
-    META stream (heap, folded to the influence set), holds payload blob
-    refs, then materializes winners and merges/commits at finalize."""
+    META stream (heap), folds it to the influence set and materializes the
+    winners' payload at each geometric fold, then merges/commits the
+    pre-gathered winner events at finalize."""
 
     def __init__(self, applier_id: int, num_appliers: int,
                  schema_version: int,
@@ -203,6 +208,12 @@ class PartitionApplier:
         self.tail_rows = 0                    # un-folded rows since last fold
         self.folded_rows = 0                  # size of the folded prefix
         self.blobs: dict = {}                 # blob_id -> payload ObjectRef
+        #: winner events WITH payload from completed folds (r3): each fold
+        #: materializes its winners immediately and releases the consumed
+        #: payload blobs, so decompress+gather overlaps the routing window
+        #: and plasma holds only the since-last-fold payload instead of the
+        #: whole replay's
+        self.materialized: "pa.Table | None" = None
         self.counts: list[np.ndarray] = []    # per-shard (part*4+op, n) pairs
         self.shards_received = 0
         self.seen_shards: set = set()         # content digests (retry dedupe)
@@ -227,9 +238,11 @@ class PartitionApplier:
                   shard_key: bytes = b"") -> int:
         """Register one meta shard + its payload blob ref (boxed in a 1-list
         — a bare ObjectRef argument would be auto-resolved by Ray into the
-        materialized table). Meta-only folding is cheap (int lexsort, no
-        payload bytes), so it runs inline; the staggered geometric trigger
-        keeps any single fold small relative to the stream.
+        materialized table). The fold (compact + winner materialization)
+        runs inline on the message path; the staggered geometric trigger
+        keeps any single fold small relative to the stream, and the
+        routers' ack window bounds how far a folding applier can stall its
+        senders.
 
         ``shard_key`` is the shard's deterministic content digest: a RETRIED
         router block re-ships identical rows under a fresh blob id, and a
@@ -251,30 +264,67 @@ class PartitionApplier:
             self.tail_rows += n
             if self.compact_threshold and self.tail_rows >= max(
                     self.compact_threshold, self.folded_rows):
-                folded = compact_events(
-                    pa.concat_tables(self.meta_runs, promote_options="default"))
-                self.meta_runs = [folded]
-                self.folded_rows = folded.num_rows
-                self.tail_rows = 0
+                self._fold()
         return n
 
+    def _fold(self) -> None:
+        """Compact the buffered meta to the influence set AND materialize its
+        winner payload now (r3): the decompress+gather that used to pile up
+        at finalize runs here, inside the routing window, and the consumed
+        blobs' plasma memory is released immediately. The running
+        ``materialized`` winner set is itself re-compacted against each new
+        fold — compact_events is a semigroup, so fold order is irrelevant."""
+        if not self.meta_runs:
+            return
+        meta = compact_events(
+            pa.concat_tables(self.meta_runs, promote_options="default"))
+        self.meta_runs, self.tail_rows = [], 0
+        events = materialize_events(meta, self.blobs)
+        self.blobs = {}
+        if self.materialized is not None:
+            events = compact_events(pa.concat_tables(
+                [self.materialized, events], promote_options="default"))
+        self.materialized = events
+        self.folded_rows = events.num_rows
+
+    @ray.method(concurrency_group="control")
+    def quiesce(self) -> None:
+        """Routing has ended: disable further geometric folds. Shards still
+        queued in the mailbox just buffer (cheap heap copies) — the imminent
+        finalize folds ONCE over the whole tail, so a fence-window fold would
+        only duplicate compaction work and stretch the drain (measured: 28 s
+        fence at 2 CPUs with tail folds, scale 8). Runs in the out-of-band
+        ``control`` group so it takes effect AHEAD of the queued shards (a
+        GIL-atomic int write; the worst race costs one extra fold)."""
+        self.compact_threshold = 0
+
+    @ray.method(concurrency_group="control")
     def received(self) -> int:
         """Delivery fence: shards that have ARRIVED (mailbox order is
-        irrelevant — the driver compares the sum against the routed total)."""
+        irrelevant — the driver compares the sum against the routed total).
+        Out-of-band ``control`` group: fence polls don't queue behind the
+        shard stream they are measuring."""
         return self.shards_received
 
     def _gather(self) -> "tuple[pa.Table, np.ndarray] | None":
-        """Materialize this applier's holding: fold the buffered meta down to
-        the influence set (cheap, and it shrinks the payload gather), then
-        join the winners back to their payload blobs. Returns full decoded
-        events plus exact pre-fold (part, op) stream counts."""
-        if not self.meta_runs:
+        """Materialize this applier's holding: fold + materialize whatever
+        meta is still buffered (the since-last-fold tail; earlier folds
+        already carry their payload in ``materialized``). Returns full
+        decoded events plus exact pre-fold (part, op) stream counts."""
+        if not self.meta_runs and self.materialized is None:
             return None
-        meta = pa.concat_tables(self.meta_runs, promote_options="default")
-        self.meta_runs, self.tail_rows, self.folded_rows = [], 0, 0
-        meta = compact_events(meta)
-        events = materialize_events(meta, self.blobs)
-        self.blobs = {}
+        if self.meta_runs:
+            meta = compact_events(
+                pa.concat_tables(self.meta_runs, promote_options="default"))
+            self.meta_runs, self.tail_rows = [], 0
+            events = materialize_events(meta, self.blobs)
+            self.blobs = {}
+            if self.materialized is not None:
+                events = compact_events(pa.concat_tables(
+                    [self.materialized, events], promote_options="default"))
+        else:
+            events = self.materialized
+        self.materialized, self.folded_rows = None, 0
         counts = _merge_counts(self.counts or [np.zeros((2, 0), np.int64)])
         self.counts = []
         return events, counts
@@ -291,7 +341,8 @@ class PartitionApplier:
         return merge_apply(held[0], self.schema_version)
 
     def finalize_commit(self, out_dir: str, safe_watermark: int,
-                        max_commit_scn: int, max_txn_span: int) -> pa.Table:
+                        max_commit_scn: int, max_txn_span: int,
+                        output_codec: str = "zstd") -> pa.Table:
         """Merge-apply + write parquet + manifests for owned partitions."""
         from olrx.pipelines.replay import _apply_and_commit
 
@@ -320,7 +371,8 @@ class PartitionApplier:
                 stats.append(_apply_and_commit(
                     all_events.take(pa.array(sel)), out_dir,
                     self.schema_version, safe_watermark, max_commit_scn,
-                    max_txn_span, counters=counters))
+                    max_txn_span, counters=counters,
+                    output_codec=output_codec))
         if not stats:
             from olrx.pipelines.replay import _stats_row
             return _stats_row(-1, 0, safe_watermark, True, {})[:0]
@@ -413,6 +465,8 @@ def _fence_and_launch(appliers: list, totals: np.ndarray, launch,
     deadline = time.monotonic() + timeout_s
     pending = set(range(len(appliers)))
     out: list = [None] * len(appliers)
+    for a in appliers:
+        a.quiesce.remote()   # stream over: no more mid-stream folds
     while pending:
         order = sorted(pending)
         got = ray.get([appliers[i].received.remote() for i in order])

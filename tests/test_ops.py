@@ -218,3 +218,58 @@ def test_dedup_ngram_join_path_matches_broadcast(planted_docs):
     joined = ngram_exact_pairs(planted_docs, threshold=0.5,
                                broadcast_vocab_cap=0).to_pandas()
     assert bcast.equals(joined)
+
+
+def test_connected_components_matches_union_find():
+    """Distributed large-star/small-star closure (olrx/ops/cc.py) must equal
+    driver union-find (min-member cluster ids) on random multigraphs,
+    including duplicate edges, self loops, and a long path (the worst case
+    for propagation depth)."""
+    from olrx.ops.cc import connected_components
+
+    def union_find(a, b):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        return {m: find(m) for m in parent}
+
+    rng = np.random.default_rng(3)
+    cases = []
+    for _ in range(2):
+        a = rng.integers(0, 300, 250)
+        b = rng.integers(0, 300, 250)
+        cases.append((a, b))
+    # path graph 0-1-2-…-120 shuffled: propagation worst case
+    path = np.arange(121)
+    perm = rng.permutation(120)
+    cases.append((path[:-1][perm], path[1:][perm]))
+    # duplicate + reversed edges
+    cases.append((np.array([5, 5, 7, 9, 9]), np.array([7, 7, 5, 9, 11])))
+
+    for a, b in cases:
+        pairs = pa.table({"a": pa.array(a, pa.int64()),
+                          "b": pa.array(b, pa.int64())})
+        got = connected_components(pairs).to_pandas()
+        got = dict(zip(got["doc_id"], got["cluster_id"]))
+        assert got == union_find(a, b)
+
+
+def test_dedup_minhash_dist_equals_driver(planted_docs):
+    from olrx.ops.dedup import q_dedup_minhash, q_dedup_minhash_dist
+
+    want = q_dedup_minhash(planted_docs).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    got = q_dedup_minhash_dist(planted_docs).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "cluster_id"]], want)

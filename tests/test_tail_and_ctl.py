@@ -157,7 +157,12 @@ def test_exchange_retry_dedupe(tmp_path, gen_small):
             # a fresh router per delivery = a retried task's fresh blob-id
             # space; the shard CONTENT digests are identical
             make_router(appliers, 1, codec="zstd")(batch)
-        assert ray.get(appliers[0].received.remote()) == n_deliveries
+        # received() is out-of-band (control group): poll like the real fence
+        import time as _time
+        deadline = _time.monotonic() + 30
+        while ray.get(appliers[0].received.remote()) < n_deliveries:
+            assert _time.monotonic() < deadline, "shards never drained"
+            _time.sleep(0.02)
         out = str(tmp_path / f"lake-{n_deliveries}")
         stats = ray.get(appliers[0].finalize_commit.remote(
             out_dir=out, safe_watermark=control.max_commit_scn,
