@@ -188,7 +188,7 @@ def materialize_events(meta: pa.Table, blobs: dict) -> pa.Table:
     return pa.table(cols)
 
 
-@ray.remote(concurrency_groups={"control": 1})
+@ray.remote
 class PartitionApplier:
     """Owns `num_partitions / num_appliers` hash partitions; buffers the
     META stream (heap), folds it to the influence set and materializes the
@@ -214,6 +214,14 @@ class PartitionApplier:
         #: and plasma holds only the since-last-fold payload instead of the
         #: whole replay's
         self.materialized: "pa.Table | None" = None
+        #: folds run OFF the message path on this worker thread (one at a
+        #: time): an inline fold blocks the mailbox, and the tail fold at
+        #: stream end showed up as +5-8 s of fence at 16 CPUs. numpy/Arrow
+        #: kernels release the GIL, so shard appends keep draining while a
+        #: fold runs; if a fold is still running when the next trigger
+        #: fires, the tail simply keeps buffering until it finishes.
+        import threading
+        self._fold_thread: "threading.Thread | None" = None
         self.counts: list[np.ndarray] = []    # per-shard (part*4+op, n) pairs
         self.shards_received = 0
         self.seen_shards: set = set()         # content digests (retry dedupe)
@@ -239,10 +247,10 @@ class PartitionApplier:
         """Register one meta shard + its payload blob ref (boxed in a 1-list
         — a bare ObjectRef argument would be auto-resolved by Ray into the
         materialized table). The fold (compact + winner materialization)
-        runs inline on the message path; the staggered geometric trigger
-        keeps any single fold small relative to the stream, and the
-        routers' ack window bounds how far a folding applier can stall its
-        senders.
+        runs OFF the message path on a worker thread — an inline fold
+        blocked the mailbox and surfaced as end-of-stream fence stall
+        (measured +5-8 s at 16 CPUs); the staggered geometric trigger keeps
+        any single fold small relative to the stream.
 
         ``shard_key`` is the shard's deterministic content digest: a RETRIED
         router block re-ships identical rows under a fresh blob id, and a
@@ -262,48 +270,52 @@ class PartitionApplier:
             self.counts.append(_op_counts(meta, self.part_watermarks))
             self.meta_runs.append(_heap_copy(meta))
             self.tail_rows += n
-            if self.compact_threshold and self.tail_rows >= max(
-                    self.compact_threshold, self.folded_rows):
-                self._fold()
+            if (self.compact_threshold
+                    and self.tail_rows >= max(self.compact_threshold,
+                                              self.folded_rows)
+                    and (self._fold_thread is None
+                         or not self._fold_thread.is_alive())):
+                self._start_fold()
         return n
 
-    def _fold(self) -> None:
-        """Compact the buffered meta to the influence set AND materialize its
-        winner payload now (r3): the decompress+gather that used to pile up
-        at finalize runs here, inside the routing window, and the consumed
-        blobs' plasma memory is released immediately. The running
-        ``materialized`` winner set is itself re-compacted against each new
-        fold — compact_events is a semigroup, so fold order is irrelevant."""
-        if not self.meta_runs:
-            return
-        meta = compact_events(
-            pa.concat_tables(self.meta_runs, promote_options="default"))
-        self.meta_runs, self.tail_rows = [], 0
-        events = materialize_events(meta, self.blobs)
-        self.blobs = {}
-        if self.materialized is not None:
-            events = compact_events(pa.concat_tables(
-                [self.materialized, events], promote_options="default"))
-        self.materialized = events
-        self.folded_rows = events.num_rows
+    def _start_fold(self) -> None:
+        """Snapshot the buffered tail + its blobs and fold them on a worker
+        thread (r3): compact to the influence set, materialize the winners'
+        payload, release the consumed plasma blobs. The mailbox keeps
+        draining shards meanwhile — only the snapshot swap happens on the
+        message path. One fold at a time; ``materialized`` is only ever
+        touched by the fold thread between joins, and by finalize after the
+        join, so there is no concurrent access."""
+        import threading
 
-    @ray.method(concurrency_group="control")
-    def quiesce(self) -> None:
-        """Routing has ended: disable further geometric folds. Shards still
-        queued in the mailbox just buffer (cheap heap copies) — the imminent
-        finalize folds ONCE over the whole tail, so a fence-window fold would
-        only duplicate compaction work and stretch the drain (measured: 28 s
-        fence at 2 CPUs with tail folds, scale 8). Runs in the out-of-band
-        ``control`` group so it takes effect AHEAD of the queued shards (a
-        GIL-atomic int write; the worst race costs one extra fold)."""
-        self.compact_threshold = 0
+        snapshot, self.meta_runs = self.meta_runs, []
+        blobs, self.blobs = self.blobs, {}
+        self.tail_rows = 0
 
-    @ray.method(concurrency_group="control")
+        def fold() -> None:
+            meta = compact_events(
+                pa.concat_tables(snapshot, promote_options="default"))
+            events = materialize_events(meta, blobs)
+            if self.materialized is not None:
+                events = compact_events(pa.concat_tables(
+                    [self.materialized, events], promote_options="default"))
+            self.materialized = events
+            self.folded_rows = events.num_rows
+
+        self._fold_thread = threading.Thread(target=fold, daemon=True)
+        self._fold_thread.start()
+
     def received(self) -> int:
         """Delivery fence: shards that have ARRIVED (mailbox order is
         irrelevant — the driver compares the sum against the routed total).
-        Out-of-band ``control`` group: fence polls don't queue behind the
-        shard stream they are measuring."""
+
+        Deliberately a PLAIN mailbox method: an out-of-band concurrency
+        group for fence polls (+ an end-of-stream fold quiesce) was measured
+        a large REGRESSION — Ray's threaded-actor mode slowed shard
+        processing so much that hi-leg drain went 1.5-3.7 s → 7-50 s at
+        scale 8 and truncated-payload scaling fell from ~1.0 to ~0.4. A
+        poll that queues behind the stream it measures self-throttles to
+        the right rate."""
         return self.shards_received
 
     def _gather(self) -> "tuple[pa.Table, np.ndarray] | None":
@@ -311,6 +323,9 @@ class PartitionApplier:
         meta is still buffered (the since-last-fold tail; earlier folds
         already carry their payload in ``materialized``). Returns full
         decoded events plus exact pre-fold (part, op) stream counts."""
+        if self._fold_thread is not None:
+            self._fold_thread.join()   # an in-flight fold owns `materialized`
+            self._fold_thread = None
         if not self.meta_runs and self.materialized is None:
             return None
         if self.meta_runs:
@@ -465,8 +480,6 @@ def _fence_and_launch(appliers: list, totals: np.ndarray, launch,
     deadline = time.monotonic() + timeout_s
     pending = set(range(len(appliers)))
     out: list = [None] * len(appliers)
-    for a in appliers:
-        a.quiesce.remote()   # stream over: no more mid-stream folds
     while pending:
         order = sorted(pending)
         got = ray.get([appliers[i].received.remote() for i in order])
