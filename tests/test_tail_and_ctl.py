@@ -223,3 +223,20 @@ def test_counters_stream_exact_on_resume(tmp_path, gen_small, expected_small):
                 f"survivor {p}: counters must be stream-exact above its watermark"
     # and the healed lake still matches the oracle
     assert sorted_table(read_lake(out), expected_small.schema).equals(expected_small)
+
+
+def test_fold_materialize_path(tmp_path, gen_small, expected_small):
+    """Force constant off-path folds (tiny compact threshold): winner
+    materialization + blob release during routing must produce the same
+    lake as the no-fold path, including across a resume."""
+    _, _, paths, _ = gen_small
+    cfg = ReplayConfig(num_partitions=16, applier_compact_threshold=50)
+    out = str(tmp_path / "lake")
+    first = [p for p in paths if "seg0000" in p or "seg0001" in p]
+    replay_to_lake(first, out, cfg)
+    replay_to_lake(paths, out, cfg)
+    got = sorted_table(read_lake(out), expected_small.schema)
+    assert got.equals(expected_small)
+    # lineage counters survive the fold path (winner counts would be lower)
+    ms = MF.read_all(os.path.join(out, "_manifest"))
+    assert sum(m.counters.get("events", 0) for m in ms.values()) > 0
