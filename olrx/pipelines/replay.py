@@ -77,15 +77,15 @@ class ReplayConfig:
     exchange: str = "actor"
     num_appliers: int | None = None   # None → 2× CPUs
     #: applier memory bound, ON by default (judge r1): when an applier's
-    #: un-compacted buffer exceeds max(this, rows already folded), fold it
-    #: into the per-key winner set (compact_events, a proven semigroup)
-    #: INLINE in add_shard — meta-only folding is an int lexsort with no
-    #: payload bytes, and the ±25% per-applier stagger keeps the fleet from
-    #: folding in lockstep (see exchange.PartitionApplier.add_shard). The
-    #: geometric trigger doubles fold sizes, so total compaction work is
-    #: O(stream) while live state stays O(winner set + one buffer of equal
-    #: size). 1M rows ≈ 150 MB floor per applier (meta only — payload stays
-    #: in plasma). 0 = off.
+    #: un-compacted buffer exceeds max(this, rows already folded), an
+    #: OFF-PATH worker thread folds it into the per-key winner set
+    #: (compact_events, a proven semigroup), materializes those winners'
+    #: payload and releases the consumed plasma blobs (r3 — see
+    #: exchange.PartitionApplier._start_fold; the message path only swaps
+    #: buffers). The ±25% per-applier stagger keeps the fleet from folding
+    #: in lockstep; the geometric trigger doubles fold sizes, so total
+    #: compaction work is O(stream) while live state stays O(winner set +
+    #: one buffer of equal size). 0 = off.
     applier_compact_threshold: int = 1_000_000
     #: user-facing filters (reference §2.6)
     skip_xids: tuple[str, ...] = ()      # drop named transactions
