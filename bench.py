@@ -7,8 +7,9 @@ Prints ONE JSON line:
 
 Modes:
   python bench.py               # single run over $GRAFT_SF_DIR at $RAY_GRAFT_CPUS
-  python bench.py --scaling     # same pipeline at 8 and 32 CPUs in fresh
+  python bench.py --scaling     # same pipeline at N and 4N CPUs in fresh
                                 # processes; reports both + scaling efficiency
+                                # (default legs 1,4 — see run_scaling docstring)
 """
 
 from __future__ import annotations
@@ -139,8 +140,19 @@ def run_scaling() -> dict:
     throughput ratio directly (measured the same commit at 0.60 and 0.85).
     So: run temporally-ADJACENT (lo, hi) pairs, alternating the order per
     pair, compute efficiency per pair (drift ~cancels within a pair), and
-    report the MEDIAN pair efficiency plus every pair for transparency."""
-    levels = os.environ.get("OLRX_SCALING_LEVELS", "4,16").split(",")
+    report the MEDIAN pair efficiency plus every pair for transparency.
+
+    Default legs are 1 -> 4 CPUs: the host's aggregate memory bandwidth
+    scales linearly only up to ~4 concurrent workers (measured median
+    17.8 / 32.7 / 65.9 / 75.3 / 77.1 GB/s at 1/2/4/8/16 procs —
+    `tools/membw.py`), so 1->4 is the one leg pair where the single host
+    can actually hand the hi leg 4x of EVERY resource, matching the north
+    rule's N -> 4N *nodes* setting (per-node bandwidth constant). Leg
+    pairs above 4 CPUs measure the host's DRAM ceiling, not the pipeline:
+    their pure-bandwidth efficiency caps are 0.58 (2->8) and 0.29 (4->16).
+    Override with OLRX_SCALING_LEVELS=4,16 etc.; BENCH/BASELINE.md records
+    all three."""
+    levels = os.environ.get("OLRX_SCALING_LEVELS", "1,4").split(",")
     lo, hi = int(levels[0]), int(levels[1])
     reps = int(os.environ.get("OLRX_SCALING_REPS", "2"))
 
