@@ -6,7 +6,10 @@ A job spec is a small JSON document:
       "source": {"paths": ["/logs/*.parquet"],          // or "directory"
                  "expected_shards": [0, 1]},
       "filter": {"skip_xids": ["x10"], "conv_regex": "^conv1",
-                 "condition": "op == 'I'", "start_commit_scn": -1},
+                 "condition": "op == 'I'", "start_commit_scn": -1,
+                 // optional: start_time_us | start_time_rel_us | start_seq
+                 //           (mutually exclusive), txn_max_events
+                 "table_regex": "^table_0$"},
       "target": {"uri": "/lake/transcripts",
                  "num_partitions": 128, "salt_hot": true},
       "mode":   "batch" | "tail"                        // tail = incremental
@@ -60,8 +63,19 @@ def _build_config(job: dict) -> ReplayConfig:
         conv_regex=filt.get("conv_regex"),
         condition=filt.get("condition"),
         start_commit_scn=int(filt.get("start_commit_scn", -1)),
+        # remaining start positions + big-txn guard (reference config
+        # surface, OpenLogReplicator.cpp:533-558 / Parser.cpp:717-726);
+        # mutually-exclusive use is the caller's contract, as in the reference
+        start_time_us=(int(filt["start_time_us"])
+                       if "start_time_us" in filt else None),
+        start_time_rel_us=(int(filt["start_time_rel_us"])
+                           if "start_time_rel_us" in filt else None),
+        start_seq=(int(filt["start_seq"]) if "start_seq" in filt else None),
+        txn_max_events=(int(filt["txn_max_events"])
+                        if "txn_max_events" in filt else None),
         table_regex=filt.get("table_regex"),
         multi_table=bool(target.get("multi_table", False)),
+        output_codec=target.get("output_codec", "zstd"),
         assume_complete_input=(mode == "batch"),
         expected_shards=(tuple(source["expected_shards"])
                          if "expected_shards" in source else None),

@@ -75,6 +75,30 @@ def test_job_spec_validation(tmp_path):
         run_job({"source": {"paths": [__file__]}, "target": {}})
 
 
+def test_job_spec_full_filter_surface():
+    """Every reference §2.6 config field reaches the ReplayConfig — the
+    start positions and big-txn guard are settable from the job spec, not
+    only from Python."""
+    from olrx.pipelines.job import _build_config
+
+    cfg = _build_config({
+        "source": {"paths": ["/x"]},
+        "filter": {"skip_xids": ["x1"], "conv_regex": "^c", "condition": "op == 'I'",
+                   "start_commit_scn": 7, "start_time_us": 123, "start_seq": 2,
+                   "txn_max_events": 500, "table_regex": "^t0$"},
+        "target": {"uri": "/lake", "multi_table": True, "output_codec": "snappy"},
+    })
+    assert cfg.skip_xids == ("x1",) and cfg.conv_regex == "^c"
+    assert cfg.start_commit_scn == 7 and cfg.start_time_us == 123
+    assert cfg.start_seq == 2 and cfg.txn_max_events == 500
+    assert cfg.table_regex == "^t0$" and cfg.multi_table
+    assert cfg.output_codec == "snappy"
+    rel = _build_config({"source": {"paths": ["/x"]},
+                         "filter": {"start_time_rel_us": 10_000},
+                         "target": {"uri": "/lake"}})
+    assert rel.start_time_rel_us == 10_000 and rel.start_time_us is None
+
+
 def test_message_stream_envelope_shape(tmp_path):
     """Reference-shaped envelopes (example-free-23/output.json): begin/commit
     bracket each txn, u/d carry before images, i/u carry after, chkpt closes
