@@ -6,7 +6,7 @@ OPS_ORACLES: name → callable(sf_dir) → DuckDB SQL string (omit = rows-only)
 
 from __future__ import annotations
 
-from olrx.ops import dedup, events, multimodal, similarity, text
+from olrx.ops import dedup, events, multimodal, sampling, similarity, text
 
 OPS_QUERIES = {
     # text analysis
@@ -34,6 +34,9 @@ OPS_QUERIES = {
     "media_frames": multimodal.q_media_frames,
     "media_resize": multimodal.q_media_resize,
     "media_stats": multimodal.q_media_stats,
+    # corpus sampling / vocabulary
+    "corpus_sample": sampling.q_corpus_sample,
+    "token_vocab": sampling.q_token_vocab,
     # stream-shaped aggregations
     "events_hourly": events.q_events_hourly,
     "events_sessions": events.q_events_sessions,
@@ -62,6 +65,8 @@ OPS_ORACLES = {
     "media_frames": multimodal.sql_media_frames,
     "media_resize": multimodal.sql_media_resize,
     "media_stats": multimodal.sql_media_stats,
+    "corpus_sample": sampling.sql_corpus_sample,
+    "token_vocab": sampling.sql_token_vocab,
     "events_hourly": events.sql_events_hourly,
     "events_sessions": events.sql_events_sessions,
     "events_topk_users": events.sql_events_topk_users,

@@ -273,3 +273,34 @@ def test_dedup_minhash_dist_equals_driver(planted_docs):
     got = q_dedup_minhash_dist(planted_docs).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["doc_id", "cluster_id"]], want)
+
+
+def test_corpus_sample_deterministic_and_stratified():
+    """Same input → same sample (resume-stable); keep rate tracks the
+    per-language permille within binomial noise; hash residues uniform."""
+    from olrx.ops.sampling import (DEFAULT_RATE_PERMILLE, _digit_horner,
+                                   q_corpus_sample)
+
+    out1 = q_corpus_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out2 = q_corpus_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out2)
+    assert 0 < len(out1)  # something kept
+    # uniformity of the mod-1000 residue at scale (the mult-31 bug guard)
+    h = _digit_horner(np.arange(100_000)) % 1000
+    assert abs((h < DEFAULT_RATE_PERMILLE).mean() - DEFAULT_RATE_PERMILLE / 1000) < 0.02
+
+
+def test_token_vocab_topk():
+    """Counts match a naive pandas recount; order (cnt desc, token asc)."""
+    from olrx.ops.sampling import q_token_vocab
+
+    out = q_token_vocab(SF, k=20).to_pandas()
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    toks = texts["text"].to_pandas().fillna("").str.split(" ").explode()
+    vc = toks[toks.notna() & (toks != "")].value_counts()
+    expect = (vc.rename_axis("token").reset_index(name="cnt")
+                .sort_values(["cnt", "token"], ascending=[False, True])
+                .head(20).reset_index(drop=True))
+    got = out.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"cnt": "int64"}), expect.astype({"cnt": "int64"}))
