@@ -27,7 +27,11 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: input scale for --scaling runs: large enough that per-run fixed overhead
-#: (worker/actor spawn ~2-5 s) is amortized and both runs are compute-bound
+#: (worker/actor spawn ~2-5 s) is amortized and both runs are compute-bound.
+#: Practical ceiling on this box is ~scale 8-16: the synthetic generator
+#: (olrx/gen.py) builds the whole stream driver-side before writing segments
+#: (~10 GB RAM per scale unit of 4 at peak; scale 32 exceeded 83 GB and was
+#: aborted) — a test-tooling limit, not an engine one (the engine streams).
 SCALING_SCALE = float(os.environ.get("OLRX_SCALING_SCALE", "8.0"))
 
 
