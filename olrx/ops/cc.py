@@ -4,13 +4,14 @@ The at-scale successor to the driver-side union-find in
 ``q_dedup_minhash``: alternating LARGE-STAR / SMALL-STAR rounds (the public
 MapReduce connected-components algorithm family — Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14). Every round is
-expressed as Dataset ops only — one ``groupby().aggregate(Min)`` for the
-per-node minimum, one hash ``join`` to attach it back to the edges, one
-``groupby`` dedupe — so no node, edge list, or label table ever
-materializes on the driver; convergence is detected from an O(1)
-per-round checksum aggregate. Rounds converge in O(log n) alternations;
-the result is a star forest: every node points at its component's minimum
-id, which doubles as the cluster id.
+expressed as Dataset ops only — one node-hash-bucketed
+``groupby().map_groups`` that computes per-node neighborhood minima
+vectorized IN-GROUP and emits the star edges (no aggregate + join
+round-trip), one ``groupby`` dedupe — so no node, edge list, or label
+table ever materializes on the driver; convergence is detected from an
+O(1) per-round checksum aggregate. Rounds converge in O(log n)
+alternations; the result is a star forest: every node points at its
+component's minimum id, which doubles as the cluster id.
 
 Reference analog: none (the reference is a CDC engine); this supports the
 LLM-data dedup operators (SURVEY training-data extension), where near-dup
@@ -47,18 +48,37 @@ def _dedupe(edges: rd.Dataset) -> rd.Dataset:
                  .select_columns(["u", "v"]))
 
 
-def _min_neighbor(sym: rd.Dataset) -> rd.Dataset:
-    """Per-node minimum over the (symmetrized) neighborhood ∪ itself."""
-    from ray.data.aggregate import Min
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-    def with_self(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False)
-        m = t["min(v)"].to_numpy(zero_copy_only=False)
-        return pa.table({"u": pa.array(u),
-                         "m": pa.array(np.minimum(u, m))})
 
-    return (sym.groupby("u").aggregate(Min("v"))
-               .map_batches(with_self, batch_format="pyarrow"))
+def _bucketed(ds: rd.Dataset) -> rd.Dataset:
+    """Append a node-hash bucket column ``p`` (all rows of one ``u`` share a
+    bucket) so per-node minima can be computed INSIDE one vectorized
+    ``map_groups`` call per bucket — no aggregate + join round-trip, and no
+    Acero hash join to choke on an empty shuffle partition (pyarrow's join
+    raises on empty-schema blocks that Ray emits for empty partitions)."""
+    P = _num_partitions() * 4
+
+    def add_p(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = ((u * _GOLD) >> np.uint64(33)) % np.uint64(P)
+        return t.append_column("p", pa.array(p.astype(np.int64)))
+
+    return ds.map_batches(add_p, batch_format="pyarrow")
+
+
+def _segments(u: np.ndarray, v: np.ndarray):
+    """Sort rows by (u, v); return sorted arrays, segment starts, and the
+    per-row neighborhood minimum m = min(Γ(u) ∪ {u}) (vectorized)."""
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    new = np.empty(len(us), bool)
+    new[0] = True
+    new[1:] = us[1:] != us[:-1]
+    seg = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    m_seg = np.minimum(vs[starts], us[starts])   # vs sorted → vs[starts]=min
+    return us, vs, starts, m_seg[seg], m_seg
 
 
 def _large_star(edges: rd.Dataset) -> rd.Dataset:
@@ -69,36 +89,32 @@ def _large_star(edges: rd.Dataset) -> rd.Dataset:
         return pa.table({"u": pa.array(np.concatenate([u, v])),
                          "v": pa.array(np.concatenate([v, u]))})
 
-    s = edges.map_batches(sym, batch_format="pyarrow")
-    m = _min_neighbor(s)
-    joined = s.join(m, "inner", num_partitions=_num_partitions(), on=("u",))
+    def emit(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        us, vs, _, m, _ = _segments(u, v)
+        keep = (vs > us) & (vs != m)
+        return pa.table({"u": pa.array(vs[keep]), "v": pa.array(m[keep])})
 
-    def emit(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        mm = t["m"].to_numpy(zero_copy_only=False)
-        keep = (v > u) & (v != mm)
-        return pa.table({"u": pa.array(v[keep]), "v": pa.array(mm[keep])})
-
-    return _dedupe(joined.map_batches(emit, batch_format="pyarrow"))
+    s = _bucketed(edges.map_batches(sym, batch_format="pyarrow"))
+    return _dedupe(s.groupby("p").map_groups(emit, batch_format="pyarrow"))
 
 
 def _small_star(edges: rd.Dataset) -> rd.Dataset:
     """Connect u and all its smaller neighbors to their collective min."""
-    m = _min_neighbor(edges)   # edges are canonical (v < u): Γ≤(u) ∪ {u}
-    joined = edges.join(m, "inner", num_partitions=_num_partitions(), on=("u",))
-
-    def emit(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        mm = t["m"].to_numpy(zero_copy_only=False)
-        out_u = np.concatenate([v, u])
-        out_v = np.concatenate([mm, mm])
+    def emit(g: pa.Table) -> pa.Table:
+        # edges are canonical (v < u): Γ≤(u) ∪ {u}
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        us, vs, starts, m, m_seg = _segments(u, v)
+        out_u = np.concatenate([vs, us[starts]])
+        out_v = np.concatenate([m, m_seg])
         keep = out_u != out_v
         return pa.table({"u": pa.array(out_u[keep]),
                          "v": pa.array(out_v[keep])})
 
-    return _dedupe(joined.map_batches(emit, batch_format="pyarrow"))
+    b = _bucketed(edges)
+    return _dedupe(b.groupby("p").map_groups(emit, batch_format="pyarrow"))
 
 
 def _checksum(edges: rd.Dataset) -> tuple[int, int]:
@@ -123,7 +139,7 @@ def connected_components(pairs: "rd.Dataset | pa.Table",
     (doc_id, cluster_id) where cluster_id is the component's minimum id —
     identical output to union-find, computed with Dataset shuffles only.
 
-    Each alternation (large-star; small-star) is 6 small shuffles over the
+    Each alternation (large-star; small-star) is 4 small shuffles over the
     CURRENT edge set, which only shrinks toward one edge per non-root node;
     ``materialize()`` pins each round so lineage doesn't re-execute."""
     if isinstance(pairs, pa.Table):

@@ -1,0 +1,234 @@
+"""Corpus curation operators for training-data assembly: sequence packing
+and benchmark decontamination over the `documents` table.
+
+Both are standard stages of an LLM data pipeline that sit AFTER dedup /
+filtering and BEFORE tokenizer sharding:
+
+- **sequence packing** (concat-and-chunk): documents are concatenated in a
+  canonical order with one separator token each and the token stream is
+  chunked into fixed-length training sequences. The operator computes each
+  document's coordinates in that packed stream — a global prefix sum, the
+  only non-embarrassingly-parallel step, done distributed with the
+  two-pass bucket scheme (per-bucket sums → driver-side cumsum over the
+  BOUNDED bucket table → broadcast offsets → per-bucket local cumsum).
+  The reference analog is the confirmed-offset bookkeeping of the writer
+  queue (/root/reference/src/builder/Builder.h:64-105): a totally ordered
+  stream addressed by cumulative offsets, computed without materializing
+  the stream.
+
+- **decontamination**: flag training documents sharing character k-grams
+  with a held-out eval/benchmark set. The benchmark side is small in every
+  real deployment, so the scale shape is broadcast-small-side (`ray.put`
+  the sorted eval shingle hashes once, `searchsorted` membership per
+  batch) — never a shuffle join. The synthetic eval set here is the
+  `doc_id % 97 == 0` stratum so the oracle is self-contained.
+
+Exact DuckDB oracles for both (the shingle hash family is the same
+seeded multiply-shift one `dedup_ngram`'s verified path uses — hash
+equality == string equality up to 64-bit collisions, the precedent the
+verified dedup oracles already established).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from olrx.ops.dedup import NgramShingler, _sql_shingles
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# --------------------------------------------------------------------------
+
+#: training sequence length (tokens per packed sequence)
+_SEQ_LEN = 2048
+#: driver-side bucket-offset table bound: buckets hold doc-id RANGES, so the
+#: table is span/bucket_docs rows — sized so 10^10 ids stay ≤ ~40k entries
+_MAX_BUCKETS = 40_000
+_MIN_BUCKET_DOCS = 256
+
+
+def _bucket_docs_for(span: int, cpus: int) -> int:
+    """Docs per prefix-sum bucket: enough buckets to feed the pool, few
+    enough that the driver's offset table stays bounded at any corpus."""
+    target = max(_MIN_BUCKET_DOCS, span // max(4 * cpus, 1))
+    return max(target, -(-span // _MAX_BUCKETS))
+
+
+def q_sequence_pack(sf_dir: str, seq_len: int = _SEQ_LEN) -> rd.Dataset:
+    """Packed-stream coordinates per document: documents concatenated in
+    ``doc_id`` order, one separator token appended to each (cost =
+    n_tokens + 1), stream chunked into ``seq_len``-token sequences.
+
+    Output per doc: ``n_tokens`` (single-space tokenizer, exactly
+    `token_vocab`'s), ``start_tok`` (global stream offset), ``seq_idx``
+    (which training sequence the doc starts in), ``seq_off`` (offset
+    within it). Deterministic and independent of CPU count / bucketing —
+    the buckets only implement the distributed prefix sum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # doc-id span from parquet metadata (no data read)
+    import pyarrow.parquet as pq
+    md = pq.read_metadata(f"{sf_dir}/documents.parquet")
+    idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+    span = 1 + max(md.row_group(i).column(idx).statistics.max
+                   for i in range(md.num_row_groups))
+    bdocs = _bucket_docs_for(int(span), cpus)
+
+    def costs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pandas().fillna("")
+        # runs of non-space == non-empty single-space split segments
+        ntok = texts.str.count(r"[^ ]+").to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(ntok),
+                         "cost": pa.array(ntok + 1),
+                         "bucket": pa.array(ids // bdocs)})
+
+    costed = ds.map_batches(costs, batch_format="pyarrow").materialize()
+    # pass 1: per-bucket totals (combiner-pattern aggregate) → tiny table
+    btab = (costed.groupby("bucket")
+                  .aggregate(Sum("cost", alias_name="tot"))
+                  .to_pandas().sort_values("bucket"))
+    offs = np.concatenate([[0], np.cumsum(btab["tot"].to_numpy(np.int64))[:-1]])
+    off_ref = ray.put((btab["bucket"].to_numpy(np.int64), offs))
+    holder: list = []
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        if not holder:
+            holder.append(ray.get(off_ref))
+        bids, boffs = holder[0]
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        cost = g["cost"].to_numpy(zero_copy_only=False)
+        ntok = g["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        base = boffs[np.searchsorted(bids, ids[order[0]] // bdocs)]
+        start = base + np.cumsum(cost[order]) - cost[order]
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        start = start[inv]
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "n_tokens": pa.array(ntok.astype(np.int64)),
+            "start_tok": pa.array(start.astype(np.int64)),
+            "seq_idx": pa.array((start // seq_len).astype(np.int64)),
+            "seq_off": pa.array((start % seq_len).astype(np.int64)),
+        })
+
+    return (costed.groupby("bucket")
+                  .map_groups(pack_group, batch_format="pyarrow"))
+
+
+def sql_sequence_pack(sf_dir: str, seq_len: int = _SEQ_LEN) -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens + 1) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM c
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // {seq_len} AS BIGINT) AS seq_idx,
+       CAST(start_tok % {seq_len} AS BIGINT) AS seq_off
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Decontamination (eval-set n-gram overlap)
+# --------------------------------------------------------------------------
+
+#: synthetic held-out stratum: every 97th document is "benchmark"
+_EVAL_MOD = 97
+#: decontamination shingle length: real pipelines match LONG n-grams
+#: (short ones flag everything — k=5 marks 100% of this corpus, k=20
+#: marks ~10%, measured); 20 chars ≈ a 3-4 token collision window
+_DECON_K = 20
+
+
+def q_contamination(sf_dir: str, eval_mod: int = _EVAL_MOD,
+                    k: int = _DECON_K) -> pa.Table:
+    """Training documents sharing ≥ 1 character k-shingle with the eval
+    stratum, with the count of their distinct shingles found there.
+
+    Broadcast-small-side shape: the eval shingle-hash set ships once via
+    ``ray.put`` and each batch probes it with one searchsorted — the
+    pattern real decontamination uses (benchmark sets are tiny; the
+    synthetic stratum here is corpus-proportional only so the oracle can
+    recompute it from the same table)."""
+    import ray
+
+    shingler = NgramShingler(k)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % eval_mod == 0))
+        if sub.num_rows == 0:
+            return pa.table({"sh": pa.array([], pa.int64())})
+        sh = shingler(sub)["sh"].to_numpy(zero_copy_only=False)
+        return pa.table({"sh": pa.array(np.unique(sh))})
+
+    ev_parts = docs.map_batches(eval_hashes, batch_format="pyarrow")\
+                   .take_all()
+    ev = np.unique(np.array([r["sh"] for r in ev_parts], np.int64))
+    ev_ref = ray.put(ev)
+    holder: list = []
+
+    def flag(t: pa.Table) -> pa.Table:
+        if not holder:
+            holder.append(ray.get(ev_ref))
+        evs = holder[0]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % eval_mod != 0))
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64())})
+        if sub.num_rows == 0 or len(evs) == 0:
+            return empty
+        sh = shingler(sub)              # (doc_id, sh), distinct per doc
+        h = sh["sh"].to_numpy(zero_copy_only=False)
+        d = sh["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(evs, h)
+        pos[pos == len(evs)] = len(evs) - 1
+        hit = evs[pos] == h
+        uids, inv = np.unique(d, return_inverse=True)
+        nh = np.bincount(inv[hit], minlength=len(uids))
+        keep = nh > 0
+        return pa.table({"doc_id": pa.array(uids[keep].astype(np.int64)),
+                         "n_hits": pa.array(nh[keep].astype(np.int64))})
+
+    out = docs.map_batches(flag, batch_format="pyarrow")
+    # zero-row Ray blocks can carry an empty schema — drop before concat
+    tabs = [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+    if not tabs:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_hits": pa.array([], pa.int64())})
+    t = pa.concat_tables(tabs)
+    import pyarrow.compute as pc
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+def sql_contamination(sf_dir: str, eval_mod: int = _EVAL_MOD,
+                      k: int = _DECON_K) -> str:
+    return f"""
+WITH sh AS ({_sql_shingles(k=k)}),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {eval_mod} = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh
+       WHERE doc_id % {eval_mod} <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev ON tr.g = ev.g
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+"""

@@ -323,8 +323,8 @@ def q_dedup_minhash_dist(sf_dir: str, threshold: float = _MINHASH_THRESHOLD
     return connected_components(minhash_verified_pairs(sf_dir, threshold))
 
 
-def _sql_shingles(table_alias: str = "documents") -> str:
-    k = _SHINGLE_K
+def _sql_shingles(table_alias: str = "documents",
+                  k: int = _SHINGLE_K) -> str:
     return f"""
   SELECT doc_id,
          CASE WHEN length(text) < {k} THEN [text]
@@ -351,12 +351,11 @@ WHERE i * 1.0 / (la + lb - i) >= {_MINHASH_THRESHOLD}
 """
 
 
-def sql_dedup_minhash(sf_dir: str) -> str:
-    """Clusters mirror: exact jaccard edges + recursive-CTE transitive
-    closure; cluster id = min doc id of the component (same invariant the
-    union-find maintains)."""
-    return f"""
-WITH RECURSIVE sh AS ({_sql_shingles()}),
+def _sql_cluster_ctes() -> str:
+    """Shared CTE chain: exact jaccard edges + recursive transitive closure
+    ending in ``clusters(doc_id, cluster_id)`` (cluster id = min doc id of
+    the component — the invariant the union-find maintains)."""
+    return f"""sh AS ({_sql_shingles()}),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b,
          len(list_intersect(x.s, y.s)) AS i, len(x.s) AS la, len(y.s) AS lb
@@ -371,8 +370,86 @@ reach AS (
   SELECT d, d AS lbl FROM nodes
   UNION
   SELECT u.b AS d, r.lbl FROM reach r JOIN undirected u ON u.a = r.d
-)
-SELECT d AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY d
+),
+clusters AS (SELECT d AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY d)"""
+
+
+def sql_dedup_minhash(sf_dir: str) -> str:
+    """Clusters mirror: exact jaccard edges + recursive-CTE transitive
+    closure (shared CTE chain, `_sql_cluster_ctes`)."""
+    return f"""
+WITH RECURSIVE {_sql_cluster_ctes()}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+def q_dedup_keep_best(sf_dir: str, threshold: float = _MINHASH_THRESHOLD
+                      ) -> pa.Table:
+    """Near-dup PURGE plan: for every cluster keep its best member (max
+    ``n_chars``, ties to the smallest id) and list the members to drop with
+    their kept representative — the actual deliverable of corpus dedup.
+
+    Scale shape: clusters come from the distributed closure
+    (`q_dedup_minhash_dist`); the member-metadata gather is a distributed
+    scan filtered by the broadcast member set. Only OUTPUT-SIZED tables
+    (cluster members + their n_chars) ever reach the driver — the same
+    contract the verified-pairs path holds."""
+    import ray
+
+    members_t = q_dedup_minhash_dist(sf_dir, threshold).to_pandas()
+    if members_t.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "kept_doc_id": pa.array([], pa.int64())})
+    mem = np.sort(members_t["doc_id"].to_numpy(np.int64))
+    mem_ref = ray.put(mem)
+    holder: list = []
+
+    def member_chars(t: pa.Table) -> pa.Table:
+        if not holder:
+            holder.append(ray.get(mem_ref))
+        ms = holder[0]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ms, ids)
+        pos[pos == len(ms)] = len(ms) - 1
+        return t.filter(pa.array(ms[pos] == ids))
+
+    chars = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+               .map_batches(member_chars, batch_format="pyarrow")
+               .to_pandas())
+    m = members_t.merge(chars, on="doc_id")
+    m = m.sort_values(["cluster_id", "n_chars", "doc_id"],
+                      ascending=[True, False, True], kind="stable")
+    first = ~m["cluster_id"].duplicated()
+    kept = dict(zip(m.loc[first, "cluster_id"], m.loc[first, "doc_id"]))
+    drop = m[~first].sort_values("doc_id")
+    return pa.table({
+        "doc_id": pa.array(drop["doc_id"].to_numpy(np.int64)),
+        "kept_doc_id": pa.array(
+            drop["cluster_id"].map(kept).to_numpy(np.int64)),
+    })
+
+
+def sql_dedup_keep_best(sf_dir: str) -> str:
+    """Purge-plan mirror: shared closure + per-cluster argmax on
+    (n_chars DESC, doc_id ASC); emit the non-representative members."""
+    return f"""
+WITH RECURSIVE {_sql_cluster_ctes()},
+m AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM m
+),
+rep AS (SELECT cluster_id, doc_id AS kept_doc_id FROM ranked WHERE rk = 1)
+SELECT r.doc_id, p.kept_doc_id
+FROM ranked r JOIN rep p USING (cluster_id)
+WHERE r.rk > 1
+ORDER BY r.doc_id
 """
 
 

@@ -6,7 +6,8 @@ OPS_ORACLES: name → callable(sf_dir) → DuckDB SQL string (omit = rows-only)
 
 from __future__ import annotations
 
-from olrx.ops import dedup, events, multimodal, sampling, similarity, text
+from olrx.ops import (curate, dedup, events, multimodal, sampling,
+                      similarity, text)
 
 OPS_QUERIES = {
     # text analysis
@@ -21,6 +22,7 @@ OPS_QUERIES = {
     "dedup_minhash_pairs": dedup.q_dedup_minhash_pairs,
     "dedup_ngram": dedup.q_dedup_ngram,
     "dedup_simhash": dedup.q_dedup_simhash,
+    "dedup_keep_best": dedup.q_dedup_keep_best,
     "embedding_pairs_exact": dedup.q_embedding_pairs_exact,
     "embedding_neardup_lsh": dedup.q_embedding_neardup_lsh,
     "embedding_neardup_recall": dedup.q_embedding_neardup_recall,
@@ -37,6 +39,9 @@ OPS_QUERIES = {
     # corpus sampling / vocabulary
     "corpus_sample": sampling.q_corpus_sample,
     "token_vocab": sampling.q_token_vocab,
+    # curation: packing + decontamination
+    "sequence_pack": curate.q_sequence_pack,
+    "contamination_check": curate.q_contamination,
     # stream-shaped aggregations
     "events_hourly": events.q_events_hourly,
     "events_sessions": events.q_events_sessions,
@@ -54,6 +59,7 @@ OPS_ORACLES = {
     "dedup_minhash_dist": dedup.sql_dedup_minhash,  # identical closure
     "dedup_minhash_pairs": dedup.sql_dedup_minhash_pairs,
     "dedup_ngram": dedup.sql_dedup_ngram,
+    "dedup_keep_best": dedup.sql_dedup_keep_best,
     "embedding_pairs_exact": dedup.sql_embedding_pairs_exact,
     "embedding_neardup_lsh": dedup.sql_embedding_neardup_lsh,
     "embedding_neardup_recall": dedup.sql_embedding_neardup_recall,
@@ -67,6 +73,8 @@ OPS_ORACLES = {
     "media_stats": multimodal.sql_media_stats,
     "corpus_sample": sampling.sql_corpus_sample,
     "token_vocab": sampling.sql_token_vocab,
+    "sequence_pack": curate.sql_sequence_pack,
+    "contamination_check": curate.sql_contamination,
     "events_hourly": events.sql_events_hourly,
     "events_sessions": events.sql_events_sessions,
     "events_topk_users": events.sql_events_topk_users,
