@@ -6,8 +6,8 @@ OPS_ORACLES: name → callable(sf_dir) → DuckDB SQL string (omit = rows-only)
 
 from __future__ import annotations
 
-from olrx.ops import (curate, dedup, events, multimodal, sampling,
-                      similarity, text)
+from olrx.ops import (cluster, curate, dedup, events, multimodal, relational,
+                      sampling, similarity, text)
 
 OPS_QUERIES = {
     # text analysis
@@ -15,6 +15,7 @@ OPS_QUERIES = {
     "text_quality": text.q_text_quality,
     "lang_id": text.q_lang_id,
     "doc_fingerprints": text.q_fingerprints,
+    "text_repetition": text.q_repetition_stats,
     # dedup
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_minhash": dedup.q_dedup_minhash,
@@ -42,6 +43,11 @@ OPS_QUERIES = {
     # curation: packing + decontamination
     "sequence_pack": curate.q_sequence_pack,
     "contamination_check": curate.q_contamination,
+    # embedding clustering
+    "kmeans_embed": cluster.q_kmeans_embed,
+    # relational: as-of + mixed-shape enrichment joins
+    "events_asof_join": relational.q_events_asof_join,
+    "orders_enrich": relational.q_orders_enrich,
     # stream-shaped aggregations
     "events_hourly": events.q_events_hourly,
     "events_sessions": events.q_events_sessions,
@@ -53,6 +59,7 @@ OPS_ORACLES = {
     "text_stats": text.sql_text_stats,
     "lang_id": text.sql_lang_id,
     "doc_fingerprints": text.sql_fingerprints,
+    "text_repetition": text.sql_repetition_stats,
     "dedup_exact": dedup.sql_dedup_exact,
     "dedup_simhash": dedup.sql_dedup_simhash,
     "dedup_minhash": dedup.sql_dedup_minhash,
@@ -75,6 +82,9 @@ OPS_ORACLES = {
     "token_vocab": sampling.sql_token_vocab,
     "sequence_pack": curate.sql_sequence_pack,
     "contamination_check": curate.sql_contamination,
+    "kmeans_embed": cluster.sql_kmeans_embed,
+    "events_asof_join": relational.sql_events_asof_join,
+    "orders_enrich": relational.sql_orders_enrich,
     "events_hourly": events.sql_events_hourly,
     "events_sessions": events.sql_events_sessions,
     "events_topk_users": events.sql_events_topk_users,

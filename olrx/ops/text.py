@@ -320,6 +320,93 @@ FROM fp
 """
 
 
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document: word count, distinct-
+    word ratio, top-word fraction, and the fraction of word-bigram positions
+    whose bigram occurs more than once in the doc. High duplicate-bigram /
+    low distinct-word docs are boilerplate and get filtered before training.
+
+    Fully vectorized and batch-local (a document is one row): one explode,
+    one factorize, then integer pair-code `np.unique` counting — no per-row
+    Python. Ratios are exact integer divisions, so the SQL oracle matches
+    bit-for-bit."""
+    texts = batch["text"].to_pandas().fillna("")
+    n_rows = len(texts)
+    ex = texts.str.split().explode().dropna()
+    doc = ex.index.to_numpy(dtype=np.int64)
+    codes, uniq = pd.factorize(ex.to_numpy())
+    codes = codes.astype(np.int64)
+    k = np.int64(len(uniq)) + 1
+
+    n_words = np.bincount(doc, minlength=n_rows).astype(np.int64)
+
+    # per-(doc, word) counts via one sort of the fused pair code
+    pair = doc * k + codes
+    upair, ucnt = np.unique(pair, return_counts=True)
+    udoc = (upair // k).astype(np.int64)
+    n_distinct = np.bincount(udoc, minlength=n_rows).astype(np.int64)
+    top_cnt = np.zeros(n_rows, np.int64)
+    np.maximum.at(top_cnt, udoc, ucnt)
+
+    # bigram positions: adjacent explode rows of the same doc; re-code the
+    # bigram ids densely before fusing with doc so the fused code never
+    # nears int64 overflow (k² × batch_size would)
+    adj = np.flatnonzero(doc[1:] == doc[:-1]) if len(doc) > 1 else \
+        np.empty(0, np.int64)
+    bdoc = doc[adj]
+    bg_u, bg_codes = np.unique(codes[adj] * k + codes[adj + 1],
+                               return_inverse=True)
+    k2 = np.int64(len(bg_u)) + 1
+    bpair_u, bcnt = np.unique(bdoc * k2 + bg_codes, return_counts=True)
+    bu_doc = (bpair_u // k2).astype(np.int64)
+    n_bg = np.bincount(bdoc, minlength=n_rows).astype(np.int64)
+    dup_bg = np.zeros(n_rows, np.int64)
+    np.add.at(dup_bg, bu_doc[bcnt > 1], bcnt[bcnt > 1])
+
+    nw = n_words.clip(min=1).astype(np.float64)
+    nb = n_bg.clip(min=1).astype(np.float64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words, pa.int64()),
+        "distinct_word_ratio": pa.array(
+            np.round(n_distinct / nw, 9), pa.float64()),
+        "top_word_frac": pa.array(np.round(top_cnt / nw, 9), pa.float64()),
+        "dup_bigram_frac": pa.array(np.round(dup_bg / nb, 9), pa.float64()),
+    })
+
+
+def sql_repetition_stats(sf_dir: str) -> str:
+    return r"""
+WITH w AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS w,
+         generate_subscripts(str_split(text, ' '), 1) AS i
+  FROM documents
+),
+wt AS (SELECT * FROM w WHERE w <> ''),
+wc AS (SELECT doc_id, w, count(*) AS c FROM wt GROUP BY 1, 2),
+ws AS (SELECT doc_id, sum(c) AS n_words, count(*) AS nd, max(c) AS topc
+       FROM wc GROUP BY 1),
+bg AS (SELECT doc_id,
+              w || chr(1) || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+       FROM wt QUALIFY b IS NOT NULL),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, sum(c) AS n_bg,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
+       FROM bgc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(ws.n_words, 0) AS n_words,
+       round(coalesce(ws.nd, 0) * 1.0 / greatest(coalesce(ws.n_words, 0), 1), 9)
+         AS distinct_word_ratio,
+       round(coalesce(ws.topc, 0) * 1.0 / greatest(coalesce(ws.n_words, 0), 1), 9)
+         AS top_word_frac,
+       round(coalesce(bs.dup_bg, 0) * 1.0 / greatest(coalesce(bs.n_bg, 0), 1), 9)
+         AS dup_bigram_frac
+FROM documents d
+LEFT JOIN ws ON d.doc_id = ws.doc_id
+LEFT JOIN bs ON d.doc_id = bs.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -373,6 +460,12 @@ def q_lang_id(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pandas", batch_size=4096,
                           concurrency=actor_pool())
+
+
+def q_repetition_stats(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow",
+                          batch_size=8192)
 
 
 def q_fingerprints(sf_dir: str) -> rd.Dataset:
