@@ -56,7 +56,8 @@ def _bucket_docs_for(span: int, cpus: int) -> int:
     return max(target, -(-span // _MAX_BUCKETS))
 
 
-def q_sequence_pack(sf_dir: str, seq_len: int = _SEQ_LEN) -> rd.Dataset:
+def q_sequence_pack(sf_dir: str, seq_len: int = _SEQ_LEN,
+                    ds: rd.Dataset | None = None) -> rd.Dataset:
     """Packed-stream coordinates per document: documents concatenated in
     ``doc_id`` order, one separator token appended to each (cost =
     n_tokens + 1), stream chunked into ``seq_len``-token sequences.
@@ -65,12 +66,17 @@ def q_sequence_pack(sf_dir: str, seq_len: int = _SEQ_LEN) -> rd.Dataset:
     `token_vocab`'s), ``start_tok`` (global stream offset), ``seq_idx``
     (which training sequence the doc starts in), ``seq_off`` (offset
     within it). Deterministic and independent of CPU count / bucketing —
-    the buckets only implement the distributed prefix sum."""
+    the buckets only implement the distributed prefix sum.
+
+    ``ds`` substitutes a pre-curated corpus Dataset of (doc_id, text);
+    gaps in the id space are fine — empty buckets simply contribute zero
+    to the bucket-offset table (built from the observed groupby output)."""
     import ray
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    if ds is None:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
     cpus = int(ray.cluster_resources().get("CPU", 8))
     # doc-id span from parquet metadata (no data read)
     import pyarrow.parquet as pq
@@ -231,4 +237,137 @@ SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM tr JOIN ev ON tr.g = ev.g
 GROUP BY tr.doc_id
 ORDER BY tr.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Composed curation pipeline: quality filter → near-dup purge → packing
+# --------------------------------------------------------------------------
+
+#: quality gate: the heuristic score is 0.4·len + 0.3·punct + 0.3·stop, so
+#: anything ≥ 0.95 has ALL three criteria (max partial sum is 0.7)
+_QUALITY_MIN = 0.95
+
+
+class QualityFilter:
+    """Actor-pool filter stage: score each batch with the shared
+    `QualityScore` kernel (state compiled once per worker) and pass through
+    only (doc_id, text) rows at or above the threshold."""
+
+    def __init__(self, threshold: float = _QUALITY_MIN) -> None:
+        from olrx.ops.text import QualityScore
+        self.scorer = QualityScore()
+        self.threshold = threshold
+
+    def __call__(self, df):
+        q = self.scorer(df)["quality"].to_numpy()
+        return df.loc[q >= self.threshold, ["doc_id", "text"]]
+
+
+def q_curation_pipeline(sf_dir: str, quality_min: float = _QUALITY_MIN,
+                        seq_len: int = _SEQ_LEN) -> rd.Dataset:
+    """The flagship corpus-curation composition — the three stages every
+    LLM-pretraining data pipeline chains, run as ONE streaming flow:
+
+      1. quality gate  — `QualityScore` ≥ threshold (C4/Gopher-style rules),
+         a pass-through actor-pool filter; the corpus never materializes.
+      2. near-dup purge — MinHash LSH → exact-Jaccard verify → DISTRIBUTED
+         connected components → keep-best representative per cluster
+         (max n_chars, ties to min id); only the OUTPUT-SIZED drop set
+         reaches the driver and is re-broadcast.
+      3. sequence packing — survivors concatenated in doc_id order and
+         chunked into `seq_len`-token training sequences via the
+         distributed two-pass prefix sum.
+
+    Output: packed-stream coordinates per SURVIVING document. Deterministic
+    and independent of CPU count, so the exact composed SQL oracle
+    (`sql_curation_pipeline`) hash-matches end to end.
+
+    Scale shape: stage 1 streams; stage 2's shuffles are candidate-sized;
+    stage 3 re-reads the parquet with the (corpus-small) drop/quality sets
+    applied batch-side — two passes over storage total, no full-corpus
+    driver materialization anywhere."""
+    import ray
+    from olrx.ops.dedup import minhash_verified_pairs, keep_best_plan
+    from olrx.ops.cc import connected_components
+    from olrx.ops.scaling import actor_pool
+
+    def filtered() -> rd.Dataset:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return ds.map_batches(QualityFilter, batch_format="pandas",
+                              batch_size=4096, concurrency=actor_pool(),
+                              fn_constructor_kwargs=dict(threshold=quality_min))
+
+    pairs = minhash_verified_pairs(sf_dir, ds=filtered())
+    members = connected_components(pairs).to_pandas()
+    drop_t = keep_best_plan(sf_dir, members)
+    drop = np.sort(drop_t["doc_id"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+    drop_ref = ray.put(drop)
+    holder: list = []
+
+    def drop_filter(t: pa.Table) -> pa.Table:
+        if not holder:
+            holder.append(ray.get(drop_ref))
+        dr = holder[0]
+        if len(dr) == 0:
+            return t
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dr, ids)
+        pos[pos == len(dr)] = len(dr) - 1
+        return t.filter(pa.array(dr[pos] != ids))
+
+    survivors = filtered().map_batches(drop_filter, batch_format="pyarrow")
+    return q_sequence_pack(sf_dir, seq_len=seq_len, ds=survivors)
+
+
+def sql_curation_pipeline(sf_dir: str, quality_min: float = _QUALITY_MIN,
+                          seq_len: int = _SEQ_LEN) -> str:
+    """Exact composed mirror: quality CTE → filtered corpus → cluster
+    closure + keep-best drop (shared CTE chain over the filtered alias) →
+    windowed prefix-sum packing over the survivors."""
+    from olrx.ops.dedup import _sql_cluster_ctes
+    from olrx.ops.text import sql_text_quality
+
+    quality_q = sql_text_quality(sf_dir).strip().rstrip(";")
+    return f"""
+WITH RECURSIVE q AS ({quality_q}),
+fdocs AS (
+  SELECT d.doc_id, d.text, d.n_chars
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality >= {quality_min}
+),
+{_sql_cluster_ctes("fdocs")},
+m AS (
+  SELECT c.doc_id, c.cluster_id, f.n_chars
+  FROM clusters c JOIN fdocs f ON f.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM m
+),
+surv AS (
+  SELECT doc_id, text FROM fdocs
+  WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM surv
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens + 1) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM c
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // {seq_len} AS BIGINT) AS seq_idx,
+       CAST(start_tok % {seq_len} AS BIGINT) AS seq_off
+FROM s
 """

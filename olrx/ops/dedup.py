@@ -164,9 +164,14 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": ids[i], "b": ids[j]})
 
 
-def minhash_candidates(sf_dir: str, num_perm: int = 128, bands: int = 16
-                       ) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+def minhash_candidates(sf_dir: str, num_perm: int = 128, bands: int = 16,
+                       ds: rd.Dataset | None = None) -> rd.Dataset:
+    """LSH candidate pairs. ``ds`` overrides the corpus source (a Dataset of
+    (doc_id, text)) so upstream stages — e.g. the curation pipeline's
+    quality filter — compose without a parquet round-trip."""
+    if ds is None:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
                           concurrency=actor_pool(),
                           fn_constructor_kwargs=dict(num_perm=num_perm))
@@ -239,15 +244,19 @@ def make_jaccard_verifier(shingle_ref, threshold: float):
     return verify
 
 
-def minhash_verified_pairs(sf_dir: str, threshold: float = _MINHASH_THRESHOLD
-                           ) -> pa.Table:
+def minhash_verified_pairs(sf_dir: str, threshold: float = _MINHASH_THRESHOLD,
+                           ds: rd.Dataset | None = None) -> pa.Table:
     """Candidates (distributed LSH) → exact Jaccard verify (distributed,
-    candidate-doc shingles broadcast) → verified pair table (output-sized)."""
+    candidate-doc shingles broadcast) → verified pair table (output-sized).
+
+    ``ds`` substitutes a pre-filtered corpus Dataset; the shingle gather for
+    the verify stage still prunes by candidate id against the parquet file
+    (texts are immutable — filtering never changes a surviving doc's text)."""
     import ray
     import pyarrow.dataset as pads
     from ray.data.aggregate import Count
 
-    cand = minhash_candidates(sf_dir)
+    cand = minhash_candidates(sf_dir, ds=ds)
     # distributed pair dedup: same pair surfaces from several bands.
     # materialize() pins the (output-sized) pair set so the ids pass and the
     # verify pass don't re-run the whole LSH pipeline
@@ -351,11 +360,14 @@ WHERE i * 1.0 / (la + lb - i) >= {_MINHASH_THRESHOLD}
 """
 
 
-def _sql_cluster_ctes() -> str:
+def _sql_cluster_ctes(table_alias: str = "documents") -> str:
     """Shared CTE chain: exact jaccard edges + recursive transitive closure
     ending in ``clusters(doc_id, cluster_id)`` (cluster id = min doc id of
-    the component — the invariant the union-find maintains)."""
-    return f"""sh AS ({_sql_shingles()}),
+    the component — the invariant the union-find maintains).
+
+    ``table_alias`` lets composed oracles (curation pipeline) run the
+    closure over a filtered CTE instead of the raw table."""
+    return f"""sh AS ({_sql_shingles(table_alias)}),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b,
          len(list_intersect(x.s, y.s)) AS i, len(x.s) AS la, len(y.s) AS lb
@@ -394,9 +406,17 @@ def q_dedup_keep_best(sf_dir: str, threshold: float = _MINHASH_THRESHOLD
     scan filtered by the broadcast member set. Only OUTPUT-SIZED tables
     (cluster members + their n_chars) ever reach the driver — the same
     contract the verified-pairs path holds."""
+    members_t = q_dedup_minhash_dist(sf_dir, threshold).to_pandas()
+    return keep_best_plan(sf_dir, members_t)
+
+
+def keep_best_plan(sf_dir: str, members_t) -> pa.Table:
+    """Purge plan from a cluster-membership frame (doc_id, cluster_id):
+    per cluster keep max-n_chars (ties → min id), emit (doc_id,
+    kept_doc_id) for the rest. Member metadata gathered by a broadcast-set
+    filtered scan — only output-sized tables reach the driver."""
     import ray
 
-    members_t = q_dedup_minhash_dist(sf_dir, threshold).to_pandas()
     if members_t.empty:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "kept_doc_id": pa.array([], pa.int64())})

@@ -43,6 +43,7 @@ OPS_QUERIES = {
     # curation: packing + decontamination
     "sequence_pack": curate.q_sequence_pack,
     "contamination_check": curate.q_contamination,
+    "curation_pipeline": curate.q_curation_pipeline,
     # embedding clustering
     "kmeans_embed": cluster.q_kmeans_embed,
     # relational: as-of + mixed-shape enrichment joins
@@ -82,6 +83,7 @@ OPS_ORACLES = {
     "token_vocab": sampling.sql_token_vocab,
     "sequence_pack": curate.sql_sequence_pack,
     "contamination_check": curate.sql_contamination,
+    "curation_pipeline": curate.sql_curation_pipeline,
     "kmeans_embed": cluster.sql_kmeans_embed,
     "events_asof_join": relational.sql_events_asof_join,
     "orders_enrich": relational.sql_orders_enrich,

@@ -64,6 +64,32 @@ def test_contamination_flags_shared_long_ngrams(tmp_path):
     assert out.n_hits.iloc[0] > 0
 
 
+def test_curation_pipeline_composes_all_three_stages(tmp_path):
+    """Quality gate drops the junk docs, the purge drops the worse near-dup
+    twin, and the survivors get contiguous pack coordinates in id order."""
+    base = ("the quick brown fox jumps over the lazy dog and it runs far "
+            "into the deep dark forest looking for food and water " * 2)
+    texts = [
+        base,                                   # 0: near-dup twin (worse)
+        base.replace("lazy", "sleepy"),         # 1: near-dup twin (kept)
+        "this is a perfectly ordinary document about the weather and "
+        "the seasons that we see in the mountains every single year",  # 2
+        "tiny",                                 # 3: quality fail (length)
+        ">>> !!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) ___ +++ === [[[ ]]]"
+        " {{{ }}} ||| ::: ;;; ''' !!! ??? ###",  # 4: quality fail (punct)
+    ]
+    sf = _write_docs(tmp_path, [0, 1, 2, 3, 4], texts,
+                     n_chars=[100, 300, 120, 4, 90])
+    from olrx.ops.curate import q_curation_pipeline
+
+    out = (q_curation_pipeline(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # survivors: 1 (best of the near-dup cluster by n_chars) and 2
+    assert list(out.doc_id) == [1, 2]
+    assert list(out.start_tok) == [0, out.n_tokens.iloc[0] + 1]
+    assert (out.n_tokens > 0).all()
+
+
 def test_keep_best_purge_plan(tmp_path):
     base = ("the quick brown fox jumps over the lazy dog and runs far "
             "into the deep dark forest looking for food " * 3)
