@@ -52,6 +52,66 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+#: hopping window geometry: 1 h windows advancing every 15 min
+_HOP_MIN = 15
+_WIN_HOPS = 4          # window length = 4 hops
+
+
+def q_events_sliding_window(sf_dir: str) -> rd.Dataset:
+    """HOPPING (sliding) 1h/15min window per event_type: count + sum(value)
+    for every window an event falls into. Each event belongs to exactly
+    ``_WIN_HOPS`` windows, so the batch kernel replicates rows with one
+    ``np.repeat``/tile (no Python loop) and pre-aggregates per batch before
+    the shuffle — the combiner pattern: the groupby moves one partial row
+    per (type, window) per batch, ~4× `events_hourly`'s partials regardless
+    of corpus size. Ray Data has no event-time window operator; this is the
+    composition that replaces it (window assignment is a stateless map, the
+    pane aggregate is an ordinary groupby)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hop = pd.Timedelta(minutes=_HOP_MIN)
+        base = df["ts"].dt.floor(f"{_HOP_MIN}min")
+        n = len(df)
+        # window starts: floor(ts, hop) - k*hop for k = 0.._WIN_HOPS-1
+        starts = (base.to_numpy()[:, None]
+                  - np.arange(_WIN_HOPS) * hop.to_numpy()).ravel()
+        rep = pd.DataFrame({
+            "event_type": np.repeat(df["event_type"].to_numpy(), _WIN_HOPS),
+            "win_start": starts,
+            "value": np.repeat(df["value"].to_numpy(), _WIN_HOPS),
+        })
+        g = rep.groupby(["event_type", "win_start"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "win_start"])
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sum_value", alias_name="sum_value")))
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
+                               pa.compute.round(t["sum_value"], 6)),
+        batch_format="pyarrow")
+
+
+def sql_events_sliding_window(sf_dir: str) -> str:
+    return f"""
+WITH k AS (SELECT unnest(range({_WIN_HOPS})) AS k),
+w AS (
+  SELECT e.event_type, e.value,
+         time_bucket(INTERVAL {_HOP_MIN} MINUTE, e.ts)
+           - k.k * INTERVAL {_HOP_MIN} MINUTE AS win_start
+  FROM events e CROSS JOIN k
+)
+SELECT event_type, win_start, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM w GROUP BY event_type, win_start
+"""
+
+
 def q_events_sessions(sf_dir: str) -> rd.Dataset:
     """Gap-based sessionization per user: a new session starts when the gap
     to the previous event exceeds 30 min. Per-key `map_groups` over the

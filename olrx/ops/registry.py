@@ -40,6 +40,8 @@ OPS_QUERIES = {
     # corpus sampling / vocabulary
     "corpus_sample": sampling.q_corpus_sample,
     "token_vocab": sampling.q_token_vocab,
+    "corpus_split": sampling.q_corpus_split,
+    "token_length_quantiles": sampling.q_token_length_quantiles,
     # curation: packing + decontamination
     "sequence_pack": curate.q_sequence_pack,
     "contamination_check": curate.q_contamination,
@@ -51,6 +53,7 @@ OPS_QUERIES = {
     "orders_enrich": relational.q_orders_enrich,
     # stream-shaped aggregations
     "events_hourly": events.q_events_hourly,
+    "events_sliding_window": events.q_events_sliding_window,
     "events_sessions": events.q_events_sessions,
     "events_topk_users": events.q_events_topk_users,
     "events_condition_filter": events.q_events_condition_filter,
@@ -81,6 +84,8 @@ OPS_ORACLES = {
     "media_stats": multimodal.sql_media_stats,
     "corpus_sample": sampling.sql_corpus_sample,
     "token_vocab": sampling.sql_token_vocab,
+    "corpus_split": sampling.sql_corpus_split,
+    "token_length_quantiles": sampling.sql_token_length_quantiles,
     "sequence_pack": curate.sql_sequence_pack,
     "contamination_check": curate.sql_contamination,
     "curation_pipeline": curate.sql_curation_pipeline,
@@ -88,6 +93,7 @@ OPS_ORACLES = {
     "events_asof_join": relational.sql_events_asof_join,
     "orders_enrich": relational.sql_orders_enrich,
     "events_hourly": events.sql_events_hourly,
+    "events_sliding_window": events.sql_events_sliding_window,
     "events_sessions": events.sql_events_sessions,
     "events_topk_users": events.sql_events_topk_users,
     "events_condition_filter": events.sql_events_condition_filter,

@@ -134,3 +134,111 @@ FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t FROM documents)
 WHERE t <> ''
 GROUP BY t ORDER BY cnt DESC, token ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+#: split bounds in percent: [0,80) train, [80,90) val, [90,100) test
+_SPLIT_TRAIN = 80
+_SPLIT_VAL = 90
+
+
+def q_corpus_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test assignment per document — the split
+    every training pipeline needs to be reproducible across reruns, resumes
+    and cluster sizes. Stateless per-batch map on the seeded `doc_id` hash
+    (same family as `corpus_sample`): no shuffle, no coordination, and a
+    document's split never depends on which worker saw it."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = _digit_horner(ids) % 100
+        split = np.where(bucket < _SPLIT_TRAIN, "train",
+                         np.where(bucket < _SPLIT_VAL, "val", "test"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lang": batch["lang"],
+                         "split": pa.array(split.astype(object), pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=16384)
+
+
+def sql_corpus_split(sf_dir: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                            x -> unicode(x))),
+             (a, b) -> (a * {_MULT} + b) % {_MOD}) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact corpus token-length quantiles (distributed value histogram)
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_token_length_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT corpus quantiles of per-document token counts, without a
+    global sort: token counts are small integers, so the full distribution
+    compresses into a value histogram (per-batch `bincount` partials → one
+    groupby over the distinct-value space, bounded by the longest document,
+    not the corpus). The driver touches only the histogram — a cumsum over
+    ≤ max-doc-tokens rows — and reads off lower-nearest-rank quantiles
+    (smallest v with cdf(v) ≥ ⌈q·n⌉). The shape that replaces
+    `ds.sort().take()` quantiles at 100 TB."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        ntok = texts.str.count(r"[^ ]+").to_numpy(np.int64)
+        vals, cnts = np.unique(ntok, return_counts=True)
+        return pa.table({"v": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("n", alias_name="cnt"))
+              .to_pandas().sort_values("v"))
+    cdf = hist["cnt"].to_numpy(np.int64).cumsum()
+    vals = hist["v"].to_numpy(np.int64)
+    total = int(cdf[-1]) if len(cdf) else 0
+    out_q, out_v = [], []
+    for q in _QUANTILES:
+        rank = max(int(np.ceil(q * total)), 1)
+        out_q.append(q)
+        out_v.append(int(vals[np.searchsorted(cdf, rank)]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})
+
+
+def sql_token_length_quantiles(sf_dir: str) -> str:
+    qvals = ", ".join(f"({q})" for q in _QUANTILES)
+    return f"""
+WITH c AS (
+  SELECT CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x <> '')) AS BIGINT) AS v
+  FROM documents
+),
+h AS (SELECT v, count(*) AS cnt FROM c GROUP BY v),
+cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cdf FROM h),
+n AS (SELECT count(*) AS tot FROM c)
+SELECT CAST(qs.q AS DOUBLE) AS q, CAST(min(cum.v) AS BIGINT) AS value
+FROM (VALUES {qvals}) qs(q), cum, n
+WHERE cum.cdf >= greatest(CAST(ceil(qs.q * n.tot) AS BIGINT), 1)
+GROUP BY qs.q
+"""

@@ -304,3 +304,52 @@ def test_token_vocab_topk():
     got = out.reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype({"cnt": "int64"}), expect.astype({"cnt": "int64"}))
+
+
+def test_corpus_split_deterministic_ratios():
+    """Every doc gets exactly one split; assignment is rerun-stable and the
+    hash buckets hit the 80/10/10 design ratios at scale."""
+    from olrx.ops.sampling import _digit_horner, q_corpus_split
+
+    out = q_corpus_split(SF).to_pandas().sort_values("doc_id")
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(out) == n_docs
+    assert set(out["split"]) <= {"train", "val", "test"}
+    out2 = q_corpus_split(SF).to_pandas().sort_values("doc_id")
+    assert (out["split"].to_numpy() == out2["split"].to_numpy()).all()
+    b = _digit_horner(np.arange(100_000)) % 100
+    assert abs((b < 80).mean() - 0.80) < 0.02
+    assert abs(((b >= 80) & (b < 90)).mean() - 0.10) < 0.01
+
+
+def test_token_length_quantiles_exact():
+    """Histogram-path quantiles equal the naive lower-nearest-rank read of
+    the fully sorted token counts."""
+    from olrx.ops.sampling import _QUANTILES, q_token_length_quantiles
+
+    out = q_token_length_quantiles(SF).to_pandas().set_index("q")["value"]
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    ntok = (texts["text"].to_pandas().fillna("")
+            .str.count(r"[^ ]+").to_numpy(np.int64))
+    srt = np.sort(ntok)
+    for q in _QUANTILES:
+        rank = max(int(np.ceil(q * len(srt))), 1)
+        assert out[q] == srt[rank - 1], q
+
+
+def test_events_sliding_window_covers_hops():
+    """Each hopping window's count equals the sum of the four 15-min
+    tumbling buckets it covers (naive pandas recount)."""
+    from olrx.ops.events import q_events_sliding_window
+
+    out = (q_events_sliding_window(SF).to_pandas()
+           .sort_values(["event_type", "win_start"]).reset_index(drop=True))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["q15"] = ev["ts"].dt.floor("15min")
+    tumb = ev.groupby(["event_type", "q15"]).size()
+    for _, r in out.sample(50, random_state=7).iterrows():
+        covered = sum(
+            tumb.get((r.event_type, r.win_start + pd.Timedelta(minutes=15 * k)), 0)
+            for k in range(4))
+        assert r.n == covered
