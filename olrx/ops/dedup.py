@@ -156,30 +156,113 @@ def minhash_band_rows(batch: pa.Table, bands: int = 16) -> pa.Table:
     })
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(g["doc_id"].to_numpy())
-    if len(ids) < 2 or len(ids) > 200:     # cap pathological buckets
-        return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-    i, j = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[i], "b": ids[j]})
+def _segment_pair_rows(keys: tuple, order_vals: np.ndarray, cap: int,
+                       label: str | None = None
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized within-segment pair expansion over a COARSE bucket holding
+    many fine key segments: lexsort by (keys..., order_vals), find segment
+    boundaries, drop segments under 2 or over ``cap`` rows, and expand every
+    segment's m(m-1)/2 ordered pairs with arange arithmetic. Returns row
+    index pairs (a_rows, b_rows) into the ORIGINAL arrays, with
+    order_vals[a_rows] < order_vals[b_rows] within each segment (rows sorted
+    by order_vals inside a segment, so the earlier row has the smaller id).
+
+    This replaces one `map_groups` UDF call PER FINE KEY (one Python/pandas
+    round-trip each — measured 27 s for ~80k LSH buckets at sf0.1) with one
+    call per coarse bucket (`scaling.coarse_buckets()` of them)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    n = len(order_vals)
+    if n < 2:
+        return empty
+    order = np.lexsort((order_vals,) + tuple(reversed(keys)))
+
+    def _segments(o: np.ndarray):
+        new = np.zeros(len(o), bool)
+        new[0] = True
+        for kk in keys:
+            ks = kk[o]
+            new[1:] |= ks[1:] != ks[:-1]
+        seg_id = np.cumsum(new) - 1
+        seg_start = np.flatnonzero(new)
+        return seg_id, seg_start, np.diff(np.append(seg_start, len(o)))
+
+    seg_id, seg_start, m = _segments(order)
+    bad = (m < 2) | (m > cap)
+    if label is not None:
+        for sz in m[m > cap]:
+            print(f"{label}: skipping oversized bucket ({sz} rows)")
+    if bad.any():
+        order = order[~bad[seg_id]]
+        if len(order) < 2:
+            return empty
+        seg_id, seg_start, m = _segments(order)
+    nloc = len(order)
+    local = np.arange(nloc) - seg_start[seg_id]
+    rep = m[seg_id] - 1 - local                  # pairs each row leads
+    total = int(rep.sum())
+    if total == 0:
+        return empty
+    a_idx = np.repeat(np.arange(nloc), rep)
+    off = np.concatenate([[0], np.cumsum(rep)])
+    b_idx = np.arange(total) - off[:-1][a_idx] + a_idx + 1
+    return order[a_idx], order[b_idx]
+
+
+def _local_pair_dedup(a: np.ndarray, b: np.ndarray,
+                      *vals: np.ndarray) -> tuple:
+    """Drop duplicate (a, b) pairs within one coarse bucket before they hit
+    the global shuffle (same pair surfaces from several fine buckets)."""
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    first = np.ones(len(a_s), bool)
+    first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    keep = order[first]
+    return (a[keep], b[keep]) + tuple(v[keep] for v in vals)
+
+
+_MINHASH_BUCKET_CAP = 200
+
+
+def _minhash_coarse_pairs(g: pa.Table) -> pa.Table:
+    band = g["band"].to_numpy(zero_copy_only=False)
+    bh = g["band_hash"].to_numpy(zero_copy_only=False)
+    doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ar, br = _segment_pair_rows((band, bh), doc, cap=_MINHASH_BUCKET_CAP)
+    if len(ar) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    a, b = _local_pair_dedup(doc[ar], doc[br])
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
 def minhash_candidates(sf_dir: str, num_perm: int = 128, bands: int = 16,
                        ds: rd.Dataset | None = None) -> rd.Dataset:
     """LSH candidate pairs. ``ds`` overrides the corpus source (a Dataset of
     (doc_id, text)) so upstream stages — e.g. the curation pipeline's
-    quality filter — compose without a parquet round-trip."""
+    quality filter — compose without a parquet round-trip.
+
+    Pair expansion runs per COARSE bucket (band_hash % coarse_buckets()),
+    many fine (band, band_hash) segments vectorized per map_groups call —
+    never one Python call per LSH bucket."""
+    from olrx.ops.scaling import coarse_buckets
+
     if ds is None:
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                              columns=["doc_id", "text"])
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
                           concurrency=actor_pool(),
                           fn_constructor_kwargs=dict(num_perm=num_perm))
-    bandrows = sigs.map_batches(lambda t: minhash_band_rows(t, bands),
-                                batch_format="pyarrow")
-    pairs = bandrows.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
-    return pairs
+    ncb = coarse_buckets()
+
+    def bandrows(t: pa.Table) -> pa.Table:
+        out = minhash_band_rows(t, bands)
+        cb = (out["band_hash"].to_numpy(zero_copy_only=False)
+              % np.uint64(ncb)).astype(np.int32)
+        return out.append_column("cbucket", pa.array(cb))
+
+    return (sigs.map_batches(bandrows, batch_format="pyarrow")
+                .groupby("cbucket")
+                .map_groups(_minhash_coarse_pairs, batch_format="pyarrow"))
 
 
 _SHINGLE_K = 5
@@ -548,32 +631,34 @@ def simhash_band_rows(t: pa.Table) -> pa.Table:
     })
 
 
-def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3,
-                          max_bucket: int = 20_000) -> pd.DataFrame:
-    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                          "b": pd.Series([], dtype=np.int64),
-                          "hamming": pd.Series([], dtype=np.int64)})
-    ids = g["doc_id"].to_numpy()
-    sims = g["simhash"].to_numpy().astype(np.uint64)
-    if len(ids) < 2:
+def _simhash_coarse_pairs(g: pa.Table, max_hamming: int = 3,
+                          max_bucket: int = 20_000) -> pa.Table:
+    """Vectorized hamming-verified pairs over one coarse bucket of (band,
+    band_val) segments. Oversized fine buckets (e.g. millions of identical
+    boilerplate docs) are skipped with a log line — emitting O(m²) pairs is
+    wrong at any scale; exact members are still caught by exact dedup."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    band = g["band"].to_numpy(zero_copy_only=False)
+    bval = g["band_val"].to_numpy(zero_copy_only=False)
+    ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sims = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ar, br = _segment_pair_rows((band, bval), ids, cap=max_bucket,
+                                label="simhash")
+    if len(ar) == 0:
         return empty
-    if len(ids) > max_bucket:
-        # pathological bucket (e.g. millions of identical boilerplate docs):
-        # emitting O(m²) pairs is wrong at any scale — log and skip, exact
-        # members are still caught by exact dedup
-        print(f"simhash: skipping oversized bucket ({len(ids)} docs)")
-        return empty
-    order = np.argsort(ids)
-    ids, sims = ids[order], sims[order]
-    i, j = np.triu_indices(len(ids), k=1)
-    x = sims[i] ^ sims[j]
+    x = sims[ar] ^ sims[br]
     ham = np.zeros(len(x), np.int64)
     while x.any():
         ham += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     keep = ham <= max_hamming
-    return pd.DataFrame({"a": ids[i][keep], "b": ids[j][keep],
-                         "hamming": ham[keep]})
+    if not keep.any():
+        return empty
+    a, b, h = _local_pair_dedup(ids[ar][keep], ids[br][keep], ham[keep])
+    return pa.table({"a": pa.array(a), "b": pa.array(b),
+                     "hamming": pa.array(h)})
 
 
 def q_dedup_simhash(sf_dir: str) -> pa.Table:
@@ -584,12 +669,24 @@ def q_dedup_simhash(sf_dir: str) -> pa.Table:
     dedup is a distributed groupby(a, b); only the final near-dup pairs reach
     the driver. Exactly mirrored by `sql_dedup_simhash` (banding is lossless
     for hamming ≤ 3, so the oracle's all-pairs scan finds the same set)."""
+    from olrx.ops.scaling import coarse_buckets
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow", batch_size=2048,
                           concurrency=actor_pool())
-    pairs = (sigs.map_batches(simhash_band_rows, batch_format="pyarrow")
-                 .groupby(["band", "band_val"])
-                 .map_groups(_simhash_bucket_pairs, batch_format="pandas"))
+    ncb = coarse_buckets()
+
+    def bandrows(t: pa.Table) -> pa.Table:
+        out = simhash_band_rows(t)
+        mix = (out["band_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+               * np.uint64(0x9E3779B1)
+               + out["band"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return out.append_column(
+            "cbucket", pa.array((mix % np.uint64(ncb)).astype(np.int32)))
+
+    pairs = (sigs.map_batches(bandrows, batch_format="pyarrow")
+                 .groupby("cbucket")
+                 .map_groups(_simhash_coarse_pairs, batch_format="pyarrow"))
     from ray.data.aggregate import Min
     uniq = pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
     df = uniq.to_pandas()   # O(#near-dup pairs) — bounded output, not corpus
@@ -766,28 +863,45 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = _NEARDUP_THRESHOLD,
             "embedding": t["embedding"].take(idx),
         })
 
-    def bucket_pairs(g: pd.DataFrame, max_bucket: int = 50_000) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64),
-                              "cos_sim": pd.Series([], dtype=np.float64)})
-        if len(g) < 2:
+    def bucket_pairs(g: pa.Table, max_bucket: int = 50_000) -> pa.Table:
+        """Coarse-bucket kernel: expand all (tbl, bucket) segments' pairs at
+        once, then ONE vectorized row-wise dot over the normalized gathers —
+        same flops as per-bucket gram matrices, no per-fine-bucket Python."""
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "cos_sim": pa.array([], pa.float64())})
+        tbl = g["tbl"].to_numpy(zero_copy_only=False)
+        bkt = g["bucket"].to_numpy(zero_copy_only=False)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ar, br = _segment_pair_rows((tbl, bkt), ids, cap=max_bucket,
+                                    label="neardup-lsh")
+        if len(ar) == 0:
             return empty
-        if len(g) > max_bucket:
-            print(f"neardup-lsh: skipping oversized bucket ({len(g)} vecs)")
-            return empty
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        m = np.stack(g["embedding"].to_pandas().to_numpy()).astype(np.float64)
         m /= np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
-        cos = m @ m.T
-        i, j = np.triu_indices(len(ids), k=1)
-        keep = cos[i, j] >= threshold
-        return pd.DataFrame({"a": np.minimum(ids[i], ids[j])[keep],
-                             "b": np.maximum(ids[i], ids[j])[keep],
-                             "cos_sim": np.round(cos[i, j][keep], 4)})
+        cos = np.einsum("ij,ij->i", m[ar], m[br])
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        a, b, c = _local_pair_dedup(ids[ar][keep], ids[br][keep],
+                                    np.round(cos[keep], 4))
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "cos_sim": pa.array(c)})
 
-    buck = emb.map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
-    pairs = buck.groupby(["tbl", "bucket"]).map_groups(bucket_pairs,
-                                                       batch_format="pandas")
+    from olrx.ops.scaling import coarse_buckets
+    ncb = coarse_buckets()
+
+    def with_cb(t: pa.Table) -> pa.Table:
+        mix = (t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+               * np.uint64(0x9E3779B1)
+               + t["tbl"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return t.append_column(
+            "cbucket", pa.array((mix % np.uint64(ncb)).astype(np.int32)))
+
+    buck = emb.map_batches(bucketize, batch_format="pyarrow", batch_size=4096) \
+              .map_batches(with_cb, batch_format="pyarrow")
+    pairs = buck.groupby("cbucket").map_groups(bucket_pairs,
+                                               batch_format="pyarrow")
     # distributed cross-table pair dedup; the result is output-sized
     from ray.data.aggregate import Min
     uniq = pairs.groupby(["a", "b"]).aggregate(Min("cos_sim", alias_name="cos_sim"))
@@ -1083,19 +1197,29 @@ def ngram_exact_pairs(sf_dir: str, k: int = _SHINGLE_K,
 
         prefix_rows = docs.map_batches(prefixes, batch_format="pyarrow")
     else:
+        from olrx.ops.scaling import coarse_buckets
         cpus = int(ray.cluster_resources().get("CPU", 8))
         joined = explode.join(df_agg, "inner", num_partitions=max(2, cpus),
                               on=("sh",))
+        ncb = coarse_buckets()
+
+        def with_docbucket(t: pa.Table) -> pa.Table:
+            db = (t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  * np.uint64(0x9E3779B1) % np.uint64(ncb)).astype(np.int32)
+            return t.append_column("docbucket", pa.array(db))
 
         def prefix_group(g: pa.Table) -> pa.Table:
+            # one coarse bucket = MANY complete docs; _prefix_keep segments
+            # per doc internally (never one map_groups call per document)
             doc = g["doc_id"].to_numpy(zero_copy_only=False)
             h = g["sh"].to_numpy(zero_copy_only=False)
             df = g["df"].to_numpy(zero_copy_only=False)
             keep = _prefix_keep(doc, h, df, threshold)
             return _with_bucket(g.select(["doc_id", "sh"]).take(pa.array(keep)))
 
-        prefix_rows = joined.groupby("doc_id").map_groups(
-            prefix_group, batch_format="pyarrow")
+        prefix_rows = (joined.map_batches(with_docbucket, batch_format="pyarrow")
+                             .groupby("docbucket")
+                             .map_groups(prefix_group, batch_format="pyarrow"))
 
     cand = prefix_rows \
         .groupby("bucket") \

@@ -18,3 +18,13 @@ def actor_pool(frac: float = 1.0, floor: int = 1) -> tuple[int, int]:
     to ``frac`` × cluster CPUs (min 2 so a busy stage never serializes)."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
     return (floor, max(2, int(cpus * frac)))
+
+
+def coarse_buckets(per_cpu: int = 4, floor: int = 32) -> int:
+    """Bucket count for coarse-bucket `groupby().map_groups` stages: enough
+    groups to feed the cluster (4× CPUs), few enough that each map_groups
+    UDF call processes MANY fine-grained key segments vectorized. Calling
+    the UDF once per fine key (e.g. per LSH bucket) costs one Python/pandas
+    round-trip per key — measured 27 s for ~80k keys vs ~1 s coarse."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(floor, per_cpu * cpus)
