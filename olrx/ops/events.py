@@ -114,24 +114,41 @@ FROM w GROUP BY event_type, win_start
 
 def q_events_sessions(sf_dir: str) -> rd.Dataset:
     """Gap-based sessionization per user: a new session starts when the gap
-    to the previous event exceeds 30 min. Per-key `map_groups` over the
-    ts-sorted group — the documented partitioning assumption: all events of
-    one user_id co-located by the groupby."""
+    to the previous event exceeds 30 min. Users are hash-bucketed into
+    `coarse_buckets()` groups (all events of one user co-locate — the
+    documented partitioning assumption) and each map_groups call
+    sessionizes EVERY user in its bucket with one sort + one vectorized
+    boundary scan — never one Python call per user (that costs a
+    pandas round-trip per key; see scaling.coarse_buckets)."""
+    from olrx.ops.scaling import coarse_buckets
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
+    ncb = coarse_buckets()
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(ncb)
+        return t.append_column("ub", pa.array(b.astype(np.int32)))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        gap = g["ts"].diff().dt.total_seconds().fillna(np.inf)
-        sid = (gap > SESSION_GAP_MIN * 60).cumsum()
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        new_user = np.ones(len(g), bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = g["ts"].diff().dt.total_seconds().to_numpy()
+        sid = np.cumsum(new_user | (gap > SESSION_GAP_MIN * 60))
         out = g.groupby(sid).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"), session_end=("ts", "max"),
             n_events=("ts", "size"), sum_value=("value", "sum"))
         out["sum_value"] = out["sum_value"].round(6)
-        return out.reset_index(drop=True)
+        return out.reset_index(drop=True)[
+            ["user_id", "session_start", "session_end", "n_events", "sum_value"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(with_bucket, batch_format="pyarrow")
+              .groupby("ub").map_groups(sessions, batch_format="pandas"))
 
 
 def sql_events_sessions(sf_dir: str) -> str:
