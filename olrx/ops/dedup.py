@@ -443,13 +443,25 @@ WHERE i * 1.0 / (la + lb - i) >= {_MINHASH_THRESHOLD}
 """
 
 
+def _sql_closure_ctes() -> str:
+    """Recursive transitive closure over a preceding ``edges(a, b)`` CTE,
+    ending in ``clusters(doc_id, cluster_id)`` (cluster id = min doc id of
+    the component — the invariant the union-find maintains)."""
+    return """nodes AS (SELECT a AS d FROM edges UNION SELECT b FROM edges),
+undirected AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT d, d AS lbl FROM nodes
+  UNION
+  SELECT u.b AS d, r.lbl FROM reach r JOIN undirected u ON u.a = r.d
+),
+clusters AS (SELECT d AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY d)"""
+
+
 def _sql_cluster_ctes(table_alias: str = "documents") -> str:
     """Shared CTE chain: exact jaccard edges + recursive transitive closure
-    ending in ``clusters(doc_id, cluster_id)`` (cluster id = min doc id of
-    the component — the invariant the union-find maintains).
-
-    ``table_alias`` lets composed oracles (curation pipeline) run the
-    closure over a filtered CTE instead of the raw table."""
+    (`_sql_closure_ctes`). ``table_alias`` lets composed oracles (curation
+    pipeline) run the closure over a filtered CTE instead of the raw
+    table."""
     return f"""sh AS ({_sql_shingles(table_alias)}),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b,
@@ -459,14 +471,7 @@ inter AS (
 edges AS (
   SELECT a, b FROM inter WHERE i * 1.0 / (la + lb - i) >= {_MINHASH_THRESHOLD}
 ),
-nodes AS (SELECT a AS d FROM edges UNION SELECT b FROM edges),
-undirected AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-reach AS (
-  SELECT d, d AS lbl FROM nodes
-  UNION
-  SELECT u.b AS d, r.lbl FROM reach r JOIN undirected u ON u.a = r.d
-),
-clusters AS (SELECT d AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY d)"""
+{_sql_closure_ctes()}"""
 
 
 def sql_dedup_minhash(sf_dir: str) -> str:
@@ -969,6 +974,51 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
        (SELECT count(*) FROM found) AS n_found,
        round((SELECT count(*) FROM found) * 1.0
              / greatest((SELECT count(*) FROM exact), 1), 4) AS recall
+"""
+
+
+def q_semantic_purge(sf_dir: str) -> pa.Table:
+    """CROSS-TABLE semantic dedup purge plan: embedding-space near-dup
+    clusters (multi-table LSH pairs → distributed connected components)
+    resolved against the `documents` table to keep each cluster's best
+    member by ``n_chars`` (vec_id ≡ doc_id in this corpus). The
+    embedding-side twin of `dedup_keep_best` — the actual deliverable when
+    near-dups are semantic rather than lexical. All stages distributed:
+    LSH is bucketed (`q_embedding_neardup_lsh`), the closure is the
+    alternating-star Dataset algorithm (olrx/ops/cc.py), and the doc
+    metadata gather is a broadcast-set filtered scan (`keep_best_plan`) —
+    only output-sized tables reach the driver."""
+    from olrx.ops.cc import connected_components
+
+    pairs = q_embedding_neardup_lsh(sf_dir)
+    members = connected_components(
+        pairs.select(["a", "b"])).to_pandas()
+    return keep_best_plan(sf_dir, members)
+
+
+def sql_semantic_purge(sf_dir: str) -> str:
+    """Mirror: LSH-found pair CTE (inlined seeded planes — the same exact
+    mirror `sql_embedding_neardup_lsh` established) + recursive closure +
+    per-cluster argmax on (n_chars DESC, doc_id ASC)."""
+    return f"""
+WITH RECURSIVE {_sql_neardup_found(sf_dir)},
+edges AS (SELECT a, b FROM found),
+{_sql_closure_ctes()},
+m AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM m
+),
+rep AS (SELECT cluster_id, doc_id AS kept_doc_id FROM ranked WHERE rk = 1)
+SELECT r.doc_id, p.kept_doc_id
+FROM ranked r JOIN rep p USING (cluster_id)
+WHERE r.rk > 1
+ORDER BY r.doc_id
 """
 
 

@@ -27,6 +27,7 @@ OPS_QUERIES = {
     "embedding_pairs_exact": dedup.q_embedding_pairs_exact,
     "embedding_neardup_lsh": dedup.q_embedding_neardup_lsh,
     "embedding_neardup_recall": dedup.q_embedding_neardup_recall,
+    "semantic_purge": dedup.q_semantic_purge,
     # similarity search
     "ann_bruteforce": similarity.q_ann_bruteforce,
     "ann_lsh": similarity.q_ann_lsh,
@@ -74,6 +75,7 @@ OPS_ORACLES = {
     "embedding_pairs_exact": dedup.sql_embedding_pairs_exact,
     "embedding_neardup_lsh": dedup.sql_embedding_neardup_lsh,
     "embedding_neardup_recall": dedup.sql_embedding_neardup_recall,
+    "semantic_purge": dedup.sql_semantic_purge,
     "ann_bruteforce": similarity.sql_ann_bruteforce,
     "ann_lsh": similarity.sql_ann_lsh,
     "ann_ivf": similarity.sql_ann_ivf,

@@ -353,3 +353,20 @@ def test_events_sliding_window_covers_hops():
             tumb.get((r.event_type, r.win_start + pd.Timedelta(minutes=15 * k)), 0)
             for k in range(4))
         assert r.n == covered
+
+
+def test_semantic_purge_drops_worse_twin():
+    """Embedding near-dup clusters resolve against documents.n_chars: every
+    dropped doc's kept representative has >= its n_chars (ties to min id)."""
+    from olrx.ops.dedup import q_semantic_purge
+
+    out = q_semantic_purge(SF).to_pandas()
+    assert len(out) > 0
+    nch = (pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+           .set_index("doc_id")["n_chars"])
+    for r in out.itertuples():
+        assert (nch[r.kept_doc_id] > nch[r.doc_id]
+                or (nch[r.kept_doc_id] == nch[r.doc_id]
+                    and r.kept_doc_id < r.doc_id))
+        assert r.kept_doc_id not in set(out.doc_id)
