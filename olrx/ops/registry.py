@@ -6,8 +6,8 @@ OPS_ORACLES: name → callable(sf_dir) → DuckDB SQL string (omit = rows-only)
 
 from __future__ import annotations
 
-from olrx.ops import (cluster, curate, dedup, events, multimodal, relational,
-                      sampling, similarity, text)
+from olrx.ops import (cluster, corpus, curate, dedup, events, multimodal,
+                      relational, sampling, similarity, text)
 
 OPS_QUERIES = {
     # text analysis
@@ -42,6 +42,8 @@ OPS_QUERIES = {
     "corpus_sample": sampling.q_corpus_sample,
     "token_vocab": sampling.q_token_vocab,
     "corpus_split": sampling.q_corpus_split,
+    "tfidf_sources": corpus.q_tfidf_sources,
+    "source_stats": corpus.q_source_stats,
     "token_length_quantiles": sampling.q_token_length_quantiles,
     # curation: packing + decontamination
     "sequence_pack": curate.q_sequence_pack,
@@ -87,6 +89,8 @@ OPS_ORACLES = {
     "corpus_sample": sampling.sql_corpus_sample,
     "token_vocab": sampling.sql_token_vocab,
     "corpus_split": sampling.sql_corpus_split,
+    "tfidf_sources": corpus.sql_tfidf_sources,
+    "source_stats": corpus.sql_source_stats,
     "token_length_quantiles": sampling.sql_token_length_quantiles,
     "sequence_pack": curate.sql_sequence_pack,
     "contamination_check": curate.sql_contamination,

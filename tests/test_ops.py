@@ -370,3 +370,50 @@ def test_semantic_purge_drops_worse_twin():
                 or (nch[r.kept_doc_id] == nch[r.doc_id]
                     and r.kept_doc_id < r.doc_id))
         assert r.kept_doc_id not in set(out.doc_id)
+
+
+def test_tfidf_sources_naive_recount():
+    """Top-k per-source TF-IDF against a naive pandas recount with the same
+    fixed-point idf (integer math — exact equality, no tolerance)."""
+    from olrx.ops.corpus import _IDF_SCALE, _TFIDF_TOPK, q_tfidf_sources
+
+    out = q_tfidf_sources(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"]).to_pandas()
+    ex = docs.assign(token=docs["text"].fillna("").str.split(" ")) \
+             .explode("token")
+    ex = ex[ex["token"].notna() & (ex["token"] != "")]
+    tf = ex.groupby(["source", "token"]) \
+           .agg(tf=("doc_id", "size"), nd=("doc_id", "nunique")).reset_index()
+    df_tok = tf.groupby("token")["nd"].sum()
+    n = len(docs)
+    tf["score"] = tf["tf"] * ((n * _IDF_SCALE) // df_tok[tf["token"]].to_numpy())
+    want = (tf.sort_values(["score", "token"], ascending=[False, True])
+              .groupby("source").head(_TFIDF_TOPK))
+    assert len(out) == len(want)
+    got = set(zip(out.source, out.token, out.score))
+    exp = set(zip(want.source, want.token, want.score))
+    assert got == exp
+    # rank is 1..k dense per source
+    for _, g in out.groupby("source"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_source_stats_totals():
+    """Per-source rollup sums reconcile with whole-corpus totals and a naive
+    per-source recount of one source."""
+    from olrx.ops.corpus import q_source_stats
+
+    out = q_source_stats(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert out["n_docs"].sum() == len(docs)
+    assert out["total_chars"].sum() == docs["text"].fillna("").str.len().sum()
+    assert (out["n_good"] <= out["n_docs"]).all()
+    src = out["source"].iloc[0]
+    sub = docs[docs["source"] == src]
+    row = out[out["source"] == src].iloc[0]
+    assert row["n_docs"] == len(sub)
+    assert row["n_langs"] == sub["lang"].nunique()
+    ntok = (sub["text"].fillna("").str.split(" ").explode()
+            .pipe(lambda s: s[(s.notna()) & (s != "")]).size)
+    assert row["total_tokens"] == ntok
