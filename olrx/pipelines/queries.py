@@ -761,3 +761,67 @@ GROUP BY shard, seq
 
 CDC_QUERIES["cdc_validate"] = q_cdc_validate
 CDC_ORACLES["cdc_validate"] = sql_cdc_validate
+
+
+# ---------------------------------------------------------------------------
+# cdc_corpus_stats — the composed story: CDC replay feeds corpus analytics
+# ---------------------------------------------------------------------------
+
+def q_cdc_corpus_stats(sf_dir: str) -> rd.Dataset:
+    """Per-conversation corpus scorecard over the REPLAYED lake state —
+    the packing-prep statistics a training pipeline derives straight from
+    CDC output (turn/char/tool-call/role counts per conversation). One
+    streaming flow: replay exchange → per-batch source-keyed partials →
+    one conv-keyed groupby; nothing but the replay's own exchange plus one
+    combiner-pattern aggregate, and the result is #convs rows."""
+    from ray.data.aggregate import Sum
+
+    ds = q_cdc_replay(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "conv_id": t["conv_id"].to_pandas(),
+            "n_turns": 1,
+            "total_chars": t["text"].to_pandas().fillna("").str.len()
+                                                .to_numpy(np.int64),
+            "n_tool_calls": t["tool"].is_valid().to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_user": (t["role"].to_pandas() == "user").to_numpy(np.int64),
+            "n_assistant": (t["role"].to_pandas() == "assistant")
+                                .to_numpy(np.int64),
+        })
+        g = df.groupby("conv_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("conv_id")
+             .aggregate(Sum("n_turns", alias_name="n_turns"),
+                        Sum("total_chars", alias_name="total_chars"),
+                        Sum("n_tool_calls", alias_name="n_tool_calls"),
+                        Sum("n_user", alias_name="n_user"),
+                        Sum("n_assistant", alias_name="n_assistant")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({c: t[c].cast(pa.int64()) if c != "conv_id" else t[c]
+                         for c in t.column_names})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_cdc_corpus_stats(sf_dir: str) -> str:
+    rep = sql_cdc_replay(sf_dir)
+    return f"""
+WITH rep AS ({rep})
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant
+FROM rep GROUP BY conv_id
+"""
+
+
+CDC_QUERIES["cdc_corpus_stats"] = q_cdc_corpus_stats
+CDC_ORACLES["cdc_corpus_stats"] = sql_cdc_corpus_stats

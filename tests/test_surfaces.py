@@ -163,3 +163,25 @@ def test_scn_buckets_scale_with_input(gen_small):
     assert n_buckets > 1
     chkpts = df[df["msg"].str.contains('"op": "chkpt"')]
     assert len(chkpts) == n_buckets
+
+
+def test_cdc_corpus_stats_vs_naive(expected_small):
+    """Composed CDC→corpus query equals a pandas recount over the naive
+    oracle's final table state."""
+    from olrx.pipelines.queries import q_cdc_corpus_stats
+
+    out = (q_cdc_corpus_stats("/root/testdata/sf0.001").to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    rep = expected_small.to_pandas()
+    want = (rep.assign(total_chars=rep["text"].fillna("").str.len(),
+                       n_tool_calls=rep["tool"].notna().astype(int),
+                       n_user=(rep["role"] == "user").astype(int),
+                       n_assistant=(rep["role"] == "assistant").astype(int),
+                       n_turns=1)
+            .groupby("conv_id", as_index=False)
+            [["n_turns", "total_chars", "n_tool_calls", "n_user", "n_assistant"]]
+            .sum().sort_values("conv_id").reset_index(drop=True))
+    assert len(out) == len(want)
+    for c in ["n_turns", "total_chars", "n_tool_calls", "n_user", "n_assistant"]:
+        assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (out["conv_id"].to_numpy() == want["conv_id"].to_numpy()).all()
