@@ -64,37 +64,56 @@ def q_tfidf_sources(sf_dir: str, topk: int = _TFIDF_TOPK) -> pa.Table:
     Every document belongs to exactly one source, so the global document
     frequency of a token is the SUM of its per-source ``nd`` partials —
     the df attach is a vocab-keyed groupby, not a second scan. Pipeline:
-    partials → groupby(source, token) → groupby(token) df attach →
-    groupby(source) top-k. All three exchanges move vocab-scale rows of
-    ~40 B; the driver sees only sources × k rows."""
+    partials → groupby(source, token) → coarse-bucketed df attach →
+    coarse-bucketed per-source top-k. Both map_groups stages run on COARSE
+    hash buckets (all keys of a bucket handled by one vectorized pandas
+    groupby inside the UDF), never one Python call per token/source — the
+    per-fine-key form costs a pandas round-trip per key (measured 27 s for
+    ~80k keys vs ~1 s coarse, see olrx/ops/scaling.py). All exchanges move
+    vocab-scale rows of ~40 B; the driver sees only sources × k rows."""
     from ray.data.aggregate import Sum
+
+    from olrx.ops.scaling import coarse_buckets
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source", "text"])
     n_docs = ds.count()
+    ncb = coarse_buckets()
 
     agg = (ds.map_batches(_token_partial, batch_format="pyarrow")
              .groupby(["source", "token"])
              .aggregate(Sum("tf", alias_name="tf"),
                         Sum("nd", alias_name="nd")))
 
+    def _bucket_col(s: pd.Series) -> np.ndarray:
+        return (pd.util.hash_array(s.to_numpy(object)) %
+                np.uint64(ncb)).astype(np.int32)
+
+    def with_tok_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(b=_bucket_col(df["token"]))
+
     def attach_df(g: pd.DataFrame) -> pd.DataFrame:
-        df_tok = np.int64(g["nd"].sum())
-        idf = np.int64((n_docs * _IDF_SCALE) // int(df_tok))
+        df_tok = g.groupby("token")["nd"].transform("sum").to_numpy(np.int64)
+        idf = (np.int64(n_docs) * np.int64(_IDF_SCALE)) // df_tok
         out = g[["source", "token"]].copy()
         out["tf"] = g["tf"].to_numpy(np.int64)
         out["df"] = df_tok
         out["score"] = g["tf"].to_numpy(np.int64) * idf
         return out
 
-    def top_terms(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "token"],
-                          ascending=[False, True]).head(topk).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def with_src_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(b=_bucket_col(df["source"]))
 
-    out = (agg.groupby("token").map_groups(attach_df)
-              .groupby("source").map_groups(top_terms))
+    def top_terms(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "token"], ascending=[False, True])
+        g = g.groupby("source", sort=False).head(topk).copy()
+        g["rank"] = g.groupby("source", sort=False).cumcount() + 1
+        return g.drop(columns=["b"])
+
+    out = (agg.map_batches(with_tok_bucket, batch_format="pandas")
+              .groupby("b").map_groups(attach_df)
+              .map_batches(with_src_bucket, batch_format="pandas")
+              .groupby("b").map_groups(top_terms))
     df = out.to_pandas()  # sources × k rows — output-sized
     for c in ("tf", "df", "score", "rank"):
         df[c] = df[c].astype(np.int64)
