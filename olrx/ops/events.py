@@ -217,3 +217,86 @@ SELECT user_id, round(sum(value), 6) AS total_value
 FROM events GROUP BY user_id
 ORDER BY sum(value) DESC, user_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact quantiles — distributed value histogram, no global sort
+# ---------------------------------------------------------------------------
+
+#: nearest-rank quantiles reported per event_type
+_VALUE_QS = (0.5, 0.9, 0.99)
+
+
+def q_events_value_quantiles(sf_dir: str, qs: tuple = _VALUE_QS) -> pa.Table:
+    """Exact per-event_type nearest-rank quantiles of ``value`` — the
+    per-group outlier/clipping thresholds a feature pipeline derives.
+
+    Same shape as `token_length_quantiles` but PER GROUP: per-batch
+    (type, value) count partials → one groupby over the distinct-value
+    space (money-shaped values have a bounded cents domain, so the
+    histogram compresses at scale where a global sort would move every
+    row) → coarse-bucketed cumsum + nearest-rank select (one vectorized
+    kernel per bucket, never one Python call per type). Output is
+    #types × #qs rows."""
+    from ray.data.aggregate import Sum
+
+    from olrx.ops.scaling import coarse_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby(["event_type", "value"], sort=False)
+              .size().reset_index(name="n"))
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "value"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    ncb = coarse_buckets()
+
+    def with_b(df: pd.DataFrame) -> pd.DataFrame:
+        b = (pd.util.hash_array(df["event_type"].to_numpy(object))
+             % np.uint64(ncb)).astype(np.int32)
+        return df.assign(b=b)
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "value"]).reset_index(drop=True)
+        grp = g.groupby("event_type", sort=False)["n"]
+        cum = grp.cumsum().to_numpy(np.int64)
+        tot = grp.transform("sum").to_numpy(np.int64)
+        outs = []
+        for q in qs:
+            # nearest rank: first value whose cumulative count reaches
+            # ceil(q·tot) — double multiply matches the SQL mirror exactly
+            ok = g[cum >= np.ceil(q * tot)]
+            first = ok.groupby("event_type", sort=False, as_index=False).first()
+            outs.append(pd.DataFrame({"event_type": first["event_type"],
+                                      "q": float(q),
+                                      "value": first["value"]}))
+        return pd.concat(outs, ignore_index=True)[["event_type", "q", "value"]]
+
+    out = (hist.map_batches(with_b, batch_format="pandas")
+               .groupby("b").map_groups(quantiles))
+    df = out.to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def sql_events_value_quantiles(sf_dir: str, qs: tuple = _VALUE_QS) -> str:
+    q_list = ", ".join(str(q) for q in qs)
+    return f"""
+WITH c AS (
+  SELECT event_type, value, count(*) AS n FROM events GROUP BY event_type, value
+), r AS (
+  SELECT event_type, value,
+         sum(n) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM c
+)
+SELECT event_type, q, min(value) AS value
+FROM r CROSS JOIN (SELECT unnest([{q_list}]) AS q)
+WHERE cum >= ceil(q * tot)
+GROUP BY event_type, q
+"""

@@ -57,6 +57,7 @@ OPS_QUERIES = {
     # stream-shaped aggregations
     "events_hourly": events.q_events_hourly,
     "events_sliding_window": events.q_events_sliding_window,
+    "events_value_quantiles": events.q_events_value_quantiles,
     "events_sessions": events.q_events_sessions,
     "events_topk_users": events.q_events_topk_users,
     "events_condition_filter": events.q_events_condition_filter,
@@ -100,6 +101,7 @@ OPS_ORACLES = {
     "orders_enrich": relational.sql_orders_enrich,
     "events_hourly": events.sql_events_hourly,
     "events_sliding_window": events.sql_events_sliding_window,
+    "events_value_quantiles": events.sql_events_value_quantiles,
     "events_sessions": events.sql_events_sessions,
     "events_topk_users": events.sql_events_topk_users,
     "events_condition_filter": events.sql_events_condition_filter,

@@ -417,3 +417,17 @@ def test_source_stats_totals():
     ntok = (sub["text"].fillna("").str.split(" ").explode()
             .pipe(lambda s: s[(s.notna()) & (s != "")]).size)
     assert row["total_tokens"] == ntok
+
+
+def test_events_value_quantiles_naive():
+    """Per-type nearest-rank quantiles equal a naive sorted recount."""
+    from olrx.ops.events import _VALUE_QS, q_events_value_quantiles
+
+    out = q_events_value_quantiles(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for (et, q), grp in out.groupby(["event_type", "q"]):
+        vals = np.sort(ev.loc[ev["event_type"] == et, "value"].to_numpy())
+        rank = int(np.ceil(q * len(vals)))
+        assert grp["value"].iloc[0] == vals[rank - 1], (et, q)
+    assert len(out) == ev["event_type"].nunique() * len(_VALUE_QS)
