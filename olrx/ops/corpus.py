@@ -150,8 +150,8 @@ WHERE rnk <= {topk}
 
 def _source_partial(df: pd.DataFrame) -> pd.DataFrame:
     """Per-batch per-source partial counters. Quality reuses the exact
-    QualityScore kernel (so the ≥ {thr} gate matches `text_quality`'s
-    oracle-verified values bit for bit)."""
+    QualityScore kernel, so the >= 0.7 gate sees `text_quality`'s
+    oracle-verified values bit for bit."""
     from olrx.ops.text import QualityScore
 
     quality = QualityScore()(df[["doc_id", "text"]])["quality"].to_numpy()
