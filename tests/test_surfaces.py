@@ -185,3 +185,37 @@ def test_cdc_corpus_stats_vs_naive(expected_small):
     for c in ["n_turns", "total_chars", "n_tool_calls", "n_user", "n_assistant"]:
         assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
     assert (out["conv_id"].to_numpy() == want["conv_id"].to_numpy()).all()
+
+
+def test_message_stream_roundtrip_replay(gen_small, expected_small):
+    """Golden-output fidelity, consumer side: a client that replays the
+    NDJSON message stream (reference strategy: line-by-line golden compare,
+    tests/README.md) reconstructs the exact final table state. Full-image
+    input (the gen_small fixture), so update = whole-row replace; stream
+    order (c_scn, order_idx) IS commit order because commit SCNs are
+    per-txn unique."""
+    from olrx.pipelines.emit import message_stream
+
+    _, _, paths, _ = gen_small
+    df = (message_stream(paths, ReplayConfig(num_partitions=8), scn_buckets=8)
+          .to_pandas().sort_values(["c_scn", "order_idx"]))
+    state = {}
+    for line in df["msg"]:
+        m = json.loads(line)
+        p = m["payload"][0]
+        if p["op"] not in ("c", "u", "d"):
+            continue
+        conv, turn = p["rid"].rsplit("/", 1)
+        key = (conv, int(turn))
+        if p["op"] == "d":
+            state.pop(key, None)
+        else:
+            state[key] = p["after"]
+    exp = expected_small.to_pandas()
+    assert len(state) == len(exp)
+    for row in exp.itertuples():
+        got = state[(row.conv_id, row.turn_idx)]
+        assert got["role"] == row.role
+        assert got["text"] == row.text
+        assert got["tool"] == (None if row.tool is None or
+                               (isinstance(row.tool, float)) else row.tool)
