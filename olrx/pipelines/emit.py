@@ -26,6 +26,7 @@ order.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -267,7 +268,155 @@ def message_stream(paths: list[str], cfg: ReplayConfig | None = None,
 
 def write_message_stream(paths: list[str], out_dir: str,
                          cfg: ReplayConfig | None = None) -> int:
-    """NDJSON sink (WriterFile analog); one file per commit-SCN bucket."""
+    """NDJSON sink (WriterFile analog,
+    /root/reference/src/writer/WriterFile.cpp:203-300): RAW reference-shaped
+    envelope lines — a Debezium-style consumer reads them as-is, no wrapper
+    object. One file per bucket block, named by its first (c_scn, order_idx)
+    so names are deterministic and rotation (multiple files per bucket when
+    a block splits) stays collision-free."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
     ds = message_stream(paths, cfg)
-    ds.select_columns(["msg"]).write_json(out_dir)
-    return ds.count()
+
+    def dump(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        b = int(t["scn_bucket"][0].as_py())
+        first_scn = int(t["c_scn"][0].as_py())
+        first_idx = int(t["order_idx"][0].as_py())
+        name = f"part-{b:05d}-{first_scn}-{first_idx}.ndjson"
+        body = "\n".join(t["msg"].to_pylist()) + "\n"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(body)
+        os.rename(tmp, os.path.join(out_dir, name))   # atomic, rerun-safe
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(dump, batch_format="pyarrow").take_all()
+    return int(sum(r["n"] for r in parts))
+
+
+#: explicit Arrow schema for parsing the NDJSON stream back — inference
+#: per batch would disagree across blocks (begin/commit/chkpt lack fields)
+def _stream_schema() -> "pa.Schema":
+    img = pa.struct([("role", pa.string()), ("text", pa.string()),
+                     ("tool", pa.string()), ("ts", pa.string()),
+                     ("tool_meta", pa.string())])
+    body = pa.struct([("op", pa.string()),
+                      ("schema", pa.struct([("owner", pa.string()),
+                                            ("table", pa.string())])),
+                      ("rid", pa.string()),
+                      ("before", img), ("after", img),
+                      ("sql", pa.string()), ("seq", pa.int64()),
+                      ("scn", pa.int64())])
+    return pa.schema([("c_scn", pa.int64()), ("c_idx", pa.int64()),
+                      ("xid", pa.string()), ("scn", pa.int64()),
+                      ("payload", pa.list_(body))])
+
+
+def read_message_stream(stream_dir: str,
+                        cfg: ReplayConfig | None = None) -> rd.Dataset:
+    """Source for a reference-shaped NDJSON message stream (the inverse of
+    `write_message_stream`): Dataset of flattened DML change events
+    (conv_id, turn_idx, op c/u/d, c_scn, scn, c_idx, after image columns).
+    Vectorized: each batch of raw lines is parsed by pyarrow's JSON reader
+    under an explicit schema (no per-line json.loads), begin/commit/chkpt/
+    ddl envelopes are dropped, and the after-image struct is flattened to
+    columns with ``ts`` cast from its JSON string form."""
+    import glob as _glob
+
+    import pyarrow.json as paj
+
+    cfg = cfg or ReplayConfig()
+    files = sorted(_glob.glob(os.path.join(stream_dir, "*.ndjson")))
+    lines = rd.read_text(files)
+    schema = _stream_schema()
+
+    def parse(t: pa.Table) -> pa.Table:
+        buf = ("\n".join(t["text"].to_pylist()) + "\n").encode()
+        tab = paj.read_json(
+            pa.BufferReader(buf),
+            parse_options=paj.ParseOptions(explicit_schema=schema))
+        body = pc.list_element(tab["payload"], 0)
+        op = pc.struct_field(body, "op")
+        keep = pc.is_in(op, value_set=pa.array(["c", "u", "d"]))
+        tab = tab.filter(keep)
+        if tab.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "op": pa.array([], pa.string()),
+                "c_scn": pa.array([], pa.int64()),
+                "scn": pa.array([], pa.int64()),
+                "c_idx": pa.array([], pa.int64()),
+                "role": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "tool": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "tool_meta": pa.array([], pa.string()),
+            })
+        body = pc.list_element(tab["payload"], 0)
+        rid = pc.struct_field(body, "rid").to_pandas()
+        split = rid.str.rsplit("/", n=1)
+        after = pc.struct_field(body, "after")
+        ts = pd.to_datetime(pc.struct_field(after, "ts").to_pandas(),
+                            format="ISO8601")
+        return pa.table({
+            "conv_id": pa.array(split.str[0], pa.string()),
+            "turn_idx": pa.array(split.str[1].astype(np.int64), pa.int32()),
+            "op": pc.struct_field(body, "op"),
+            "c_scn": tab["c_scn"],
+            "scn": tab["scn"],
+            "c_idx": tab["c_idx"],
+            "role": pc.struct_field(after, "role"),
+            "text": pc.struct_field(after, "text"),
+            "tool": pc.struct_field(after, "tool"),
+            "ts": pa.Array.from_pandas(ts, type=pa.timestamp("us")),
+            "tool_meta": pc.struct_field(after, "tool_meta"),
+        })
+
+    return lines.map_batches(parse, batch_format="pyarrow",
+                             batch_size=cfg.batch_size)
+
+
+def replay_message_stream(stream_dir: str,
+                          cfg: ReplayConfig | None = None) -> rd.Dataset:
+    """Replay a FULL-IMAGE NDJSON message stream to final table state —
+    the consumer-side path: a user fed by the reference's JSON output can
+    rebuild the table with this engine alone. LWW winner per (conv_id,
+    turn_idx) under (c_scn, scn, c_idx); commit SCNs are per-transaction
+    unique and c_idx follows (scn, scn_idx) within a transaction, so this
+    order equals the engine's (commit_scn, scn, scn_idx) apply order.
+    Distributed: conv-hash partitions, one vectorized lexsort/segment-last
+    kernel per partition (coarse buckets, never per-key Python)."""
+    cfg = cfg or ReplayConfig()
+    ev = read_message_stream(stream_dir, cfg)
+    nparts = cfg.num_partitions
+
+    def with_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t["conv_id"].to_numpy(zero_copy_only=False), object))
+        return t.append_column(
+            "part", pa.array((h % np.uint64(nparts)).astype(np.int32)))
+
+    def winners(g: pa.Table) -> pa.Table:
+        conv = np.asarray(g["conv_id"].to_numpy(zero_copy_only=False), object)
+        order = np.lexsort((g["c_idx"].to_numpy(), g["scn"].to_numpy(),
+                            g["c_scn"].to_numpy(),
+                            g["turn_idx"].to_numpy(), conv))
+        g = g.take(pa.array(order))
+        conv = conv[order]
+        turn = g["turn_idx"].to_numpy()
+        last = np.empty(len(conv), bool)
+        last[-1] = True
+        last[:-1] = (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])
+        w = g.take(pa.array(np.flatnonzero(last)))
+        w = w.filter(pc.invert(pc.equal(w["op"], "d")))
+        return w.select(["conv_id", "turn_idx", "role", "text", "tool",
+                         "ts", "tool_meta"])
+
+    return (ev.map_batches(with_part, batch_format="pyarrow",
+                           batch_size=cfg.batch_size)
+              .groupby("part")
+              .map_groups(winners, batch_format="pyarrow"))

@@ -825,3 +825,46 @@ FROM rep GROUP BY conv_id
 
 CDC_QUERIES["cdc_corpus_stats"] = q_cdc_corpus_stats
 CDC_ORACLES["cdc_corpus_stats"] = sql_cdc_corpus_stats
+
+
+# ---------------------------------------------------------------------------
+# cdc_stream_ingest — consumer-side source: NDJSON message stream → table
+# ---------------------------------------------------------------------------
+
+def _stream_dir_for(sf_dir: str) -> str:
+    """Materialize (once, cached beside the generated changelog) the
+    reference-shaped NDJSON message stream for this scale. The writer is
+    rerun-safe (atomic renames, deterministic per-bucket names)."""
+    import os
+
+    from olrx.pipelines.emit import write_message_stream
+
+    cfg = GenConfig(scale=scale_for_sf_dir(sf_dir))
+    d = ensure_changelog(cfg)
+    stream_dir = d.rstrip("/") + "_stream"
+    if not glob.glob(stream_dir + "/*.ndjson"):
+        write_message_stream(sorted(glob.glob(d + "/*.parquet")), stream_dir,
+                             _replay_cfg())
+    return stream_dir
+
+
+def q_cdc_stream_ingest(sf_dir: str) -> rd.Dataset:
+    """Replay the engine's own reference-shaped NDJSON message stream back
+    to final table state — the consumer/migration path (a user fed by the
+    reference's JSON output rebuilds the table with this engine alone:
+    WriterFile output as a SOURCE, /root/reference/src/writer/WriterFile.cpp).
+    Full streaming flow: read_text → vectorized pyarrow-JSON parse →
+    conv-hash partitioned LWW winner select. Verified against the SAME SQL
+    oracle as `cdc_replay`: two entirely different input formats and code
+    paths, one answer."""
+    from olrx.pipelines.emit import replay_message_stream
+
+    return replay_message_stream(_stream_dir_for(sf_dir), _replay_cfg())
+
+
+def sql_cdc_stream_ingest(sf_dir: str) -> str:
+    return sql_cdc_replay(sf_dir)
+
+
+CDC_QUERIES["cdc_stream_ingest"] = q_cdc_stream_ingest
+CDC_ORACLES["cdc_stream_ingest"] = sql_cdc_stream_ingest

@@ -219,3 +219,25 @@ def test_message_stream_roundtrip_replay(gen_small, expected_small):
         assert got["text"] == row.text
         assert got["tool"] == (None if row.tool is None or
                                (isinstance(row.tool, float)) else row.tool)
+
+
+def test_stream_ingest_roundtrip(tmp_path, gen_small, expected_small):
+    """write_message_stream → read_message_stream → replay_message_stream
+    reproduces the naive oracle's exact final state (full-image stream)."""
+    from olrx.pipelines.emit import replay_message_stream, write_message_stream
+
+    _, _, paths, _ = gen_small
+    out = str(tmp_path / "stream")
+    n = write_message_stream(paths, out, ReplayConfig(num_partitions=8))
+    assert n > 0
+    got = (replay_message_stream(out, ReplayConfig(num_partitions=8))
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    exp = expected_small.to_pandas()
+    assert len(got) == len(exp)
+    for c in ["conv_id", "turn_idx", "role", "text", "tool", "ts", "tool_meta"]:
+        a, b = got[c], exp[c]
+        if a.dtype == object:
+            assert (a.fillna("~") == b.fillna("~")).all(), c
+        else:
+            assert (a.to_numpy() == b.to_numpy()).all(), c
