@@ -10,6 +10,9 @@ Modes:
   python bench.py --scaling     # same pipeline at N and 4N CPUs in fresh
                                 # processes; reports both + scaling efficiency
                                 # (default legs 1,4 — see run_scaling docstring)
+  python bench.py --ops         # representative training-data ops suite over
+                                # $GRAFT_SF_DIR (reproduces the BASELINE.md
+                                # ops table)
 """
 
 from __future__ import annotations
@@ -198,6 +201,56 @@ def run_scaling() -> dict:
     }
 
 
+def run_ops() -> dict:
+    """Representative training-data ops over $GRAFT_SF_DIR — the suite the
+    BASELINE.md ops table records: near-dup dedup (MinHash verify + banding),
+    SimHash, embedding LSH, the composed curation pipeline, sessionization,
+    TF-IDF rollup, and exact quantiles. One timing per query, executed to
+    completion (count() forces lazy datasets)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from olrx.ops.registry import OPS_QUERIES
+
+    suite = ("dedup_minhash_pairs", "dedup_simhash", "embedding_neardup_lsh",
+             "curation_pipeline", "events_sessions", "tfidf_sources",
+             "source_stats", "events_value_quantiles",
+             "token_length_quantiles")
+    queries: dict[str, float] = {}
+    for name in suite:
+        t0 = time.perf_counter()
+        r = OPS_QUERIES[name](SF_DIR)
+        if hasattr(r, "count"):
+            r.count()
+        queries[name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return {
+        "metric": "ops_suite_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": scale_for_sf_dir_safe(SF_DIR),
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def scale_for_sf_dir_safe(sf_dir: str) -> float:
+    from olrx.gen import scale_for_sf_dir
+    try:
+        return scale_for_sf_dir(sf_dir)
+    except Exception:
+        return -1.0
+
+
 if __name__ == "__main__":
-    result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    elif "--ops" in sys.argv:
+        result = run_ops()
+    else:
+        result = run_bench()
     print(json.dumps(result))
