@@ -163,17 +163,30 @@ _EVAL_MOD = 97
 _DECON_K = 20
 
 
+#: distinct eval-shingle cap for the broadcast path (~8 B/hash → ~40 MB on
+#: the driver and per worker at the cap). Real benchmark sets sit far below
+#: it; the synthetic ``doc_id % 97`` stratum is corpus-proportional, so at
+#: web scale the measured count crosses the cap and the pipeline switches
+#: to a distributed semi-join on ``sh`` — the same measured switch the
+#: ngram df path uses (dedup._NGRAM_BCAST_VOCAB_CAP).
+_DECON_BCAST_CAP = 5_000_000
+
+
 def q_contamination(sf_dir: str, eval_mod: int = _EVAL_MOD,
-                    k: int = _DECON_K) -> pa.Table:
+                    k: int = _DECON_K,
+                    broadcast_cap: int = _DECON_BCAST_CAP) -> pa.Table:
     """Training documents sharing ≥ 1 character k-shingle with the eval
     stratum, with the count of their distinct shingles found there.
 
-    Broadcast-small-side shape: the eval shingle-hash set ships once via
-    ``ray.put`` and each batch probes it with one searchsorted — the
-    pattern real decontamination uses (benchmark sets are tiny; the
-    synthetic stratum here is corpus-proportional only so the oracle can
-    recompute it from the same table)."""
+    Path chosen by MEASURED distinct-eval-shingle count: below
+    ``broadcast_cap`` the eval hash set ships once via ``ray.put`` and each
+    batch probes it with one searchsorted (the shape real decontamination
+    uses — benchmark sets are tiny); above the cap the eval set stays a
+    distributed Dataset and training shingles semi-join it on ``sh``
+    (hash shuffle), so nothing corpus-proportional ever lands on the
+    driver or in a worker's broadcast heap."""
     import ray
+    from ray.data.aggregate import Count
 
     shingler = NgramShingler(k)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -187,40 +200,66 @@ def q_contamination(sf_dir: str, eval_mod: int = _EVAL_MOD,
         sh = shingler(sub)["sh"].to_numpy(zero_copy_only=False)
         return pa.table({"sh": pa.array(np.unique(sh))})
 
-    ev_parts = docs.map_batches(eval_hashes, batch_format="pyarrow")\
-                   .take_all()
-    ev = np.unique(np.array([r["sh"] for r in ev_parts], np.int64))
-    ev_ref = ray.put(ev)
-    holder: list = []
+    # distinct eval shingles as a DATASET (per-batch unique partials →
+    # one vocab-sized groupby); only its COUNT reaches the driver here
+    ev_ds = (docs.map_batches(eval_hashes, batch_format="pyarrow")
+                 .groupby("sh").aggregate(Count(alias_name="c"))
+                 .select_columns(["sh"]).materialize())
+    n_ev = ev_ds.count()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_hits": pa.array([], pa.int64())})
 
-    def flag(t: pa.Table) -> pa.Table:
-        if not holder:
-            holder.append(ray.get(ev_ref))
-        evs = holder[0]
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sub = t.filter(pa.array(ids % eval_mod != 0))
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "n_hits": pa.array([], pa.int64())})
-        if sub.num_rows == 0 or len(evs) == 0:
-            return empty
-        sh = shingler(sub)              # (doc_id, sh), distinct per doc
-        h = sh["sh"].to_numpy(zero_copy_only=False)
-        d = sh["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(evs, h)
-        pos[pos == len(evs)] = len(evs) - 1
-        hit = evs[pos] == h
-        uids, inv = np.unique(d, return_inverse=True)
-        nh = np.bincount(inv[hit], minlength=len(uids))
-        keep = nh > 0
-        return pa.table({"doc_id": pa.array(uids[keep].astype(np.int64)),
-                         "n_hits": pa.array(nh[keep].astype(np.int64))})
+    if n_ev <= broadcast_cap:
+        ev = np.sort(ev_ds.to_pandas()["sh"].to_numpy(np.int64)) \
+            if n_ev else np.array([], np.int64)
+        ev_ref = ray.put(ev)
+        holder: list = []
 
-    out = docs.map_batches(flag, batch_format="pyarrow")
-    # zero-row Ray blocks can carry an empty schema — drop before concat
-    tabs = [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+        def flag(t: pa.Table) -> pa.Table:
+            if not holder:
+                holder.append(ray.get(ev_ref))
+            evs = holder[0]
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            sub = t.filter(pa.array(ids % eval_mod != 0))
+            if sub.num_rows == 0 or len(evs) == 0:
+                return empty
+            sh = shingler(sub)          # (doc_id, sh), distinct per doc
+            h = sh["sh"].to_numpy(zero_copy_only=False)
+            d = sh["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(evs, h)
+            pos[pos == len(evs)] = len(evs) - 1
+            hit = evs[pos] == h
+            uids, inv = np.unique(d, return_inverse=True)
+            nh = np.bincount(inv[hit], minlength=len(uids))
+            keep = nh > 0
+            return pa.table({"doc_id": pa.array(uids[keep].astype(np.int64)),
+                             "n_hits": pa.array(nh[keep].astype(np.int64))})
+
+        out = docs.map_batches(flag, batch_format="pyarrow")
+        # zero-row Ray blocks can carry an empty schema — drop before concat
+        tabs = [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+    else:
+        def train_shingles(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            sub = t.filter(pa.array(ids % eval_mod != 0))
+            if sub.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "sh": pa.array([], pa.int64())})
+            return shingler(sub)        # (doc_id, sh), distinct per doc
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        tr = docs.map_batches(train_shingles, batch_format="pyarrow")
+        # semi-join: training shingles are distinct per doc and the eval
+        # side is globally distinct, so post-join row count per doc IS the
+        # distinct-hit count — one Count aggregate, no driver materialization
+        joined = tr.join(ev_ds, "inner", num_partitions=max(2, cpus),
+                         on=("sh",))
+        out = joined.groupby("doc_id").aggregate(Count(alias_name="n_hits"))
+        tabs = [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+        tabs = [b.select(["doc_id", "n_hits"]).cast(empty.schema) for b in tabs]
+
     if not tabs:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "n_hits": pa.array([], pa.int64())})
+        return empty
     t = pa.concat_tables(tabs)
     import pyarrow.compute as pc
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))

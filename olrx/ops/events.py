@@ -29,25 +29,40 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         df["hour"] = df["ts"].dt.floor("h")
+        # exact integer cents: float partial sums differ in the last ulp by
+        # summation order (proven on the hopping window at sf0.01) — sum
+        # int64 cents and divide once at the very end
+        df["cents"] = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum"))
+            n=("cents", "size"), cents=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["event_type", "hour"])
              .aggregate(Sum("n", alias_name="n"),
-                        Sum("sum_value", alias_name="sum_value")))
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
-                               pa.compute.round(t["sum_value"], 6)),
-        batch_format="pyarrow")
+                        Sum("cents", alias_name="cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _cents_to_sum_value(t)
+        i = t.schema.get_field_index("hour")
+        return t.set_column(i, "hour", t["hour"].cast(pa.timestamp("us")))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _cents_to_sum_value(t: pa.Table) -> pa.Table:
+    """Replace an int64 ``cents`` column with float64 ``sum_value`` — one
+    deterministic division, identical on any summation order."""
+    sv = t["cents"].to_numpy(zero_copy_only=False) / 100.0
+    return t.drop_columns(["cents"]).append_column(
+        "sum_value", pa.array(sv, pa.float64()))
 
 
 def sql_events_hourly(sf_dir: str) -> str:
     return """
-SELECT event_type, date_trunc('hour', ts) AS hour,
-       count(*) AS n, round(sum(value), 6) AS sum_value
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
@@ -78,24 +93,30 @@ def q_events_sliding_window(sf_dir: str) -> rd.Dataset:
         # window starts: floor(ts, hop) - k*hop for k = 0.._WIN_HOPS-1
         starts = (base.to_numpy()[:, None]
                   - np.arange(_WIN_HOPS) * hop.to_numpy()).ravel()
+        cents = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
         rep = pd.DataFrame({
             "event_type": np.repeat(df["event_type"].to_numpy(), _WIN_HOPS),
             "win_start": starts,
-            "value": np.repeat(df["value"].to_numpy(), _WIN_HOPS),
+            "cents": np.repeat(cents, _WIN_HOPS),
         })
         g = rep.groupby(["event_type", "win_start"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum"))
+            n=("cents", "size"), cents=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["event_type", "win_start"])
              .aggregate(Sum("n", alias_name="n"),
-                        Sum("sum_value", alias_name="sum_value")))
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
-                               pa.compute.round(t["sum_value"], 6)),
-        batch_format="pyarrow")
+                        Sum("cents", alias_name="cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _cents_to_sum_value(t)
+        # numpy datetime arithmetic above lands on timestamp[s]; the oracle
+        # (and the events schema) is microseconds — pin it explicitly
+        i = t.schema.get_field_index("win_start")
+        return t.set_column(i, "win_start", t["win_start"].cast(pa.timestamp("us")))
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def sql_events_sliding_window(sf_dir: str) -> str:
@@ -107,7 +128,8 @@ w AS (
            - k.k * INTERVAL {_HOP_MIN} MINUTE AS win_start
   FROM events e CROSS JOIN k
 )
-SELECT event_type, win_start, count(*) AS n, round(sum(value), 6) AS sum_value
+SELECT event_type, win_start, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM w GROUP BY event_type, win_start
 """
 
@@ -139,11 +161,12 @@ def q_events_sessions(sf_dir: str) -> rd.Dataset:
         new_user[1:] = uid[1:] != uid[:-1]
         gap = g["ts"].diff().dt.total_seconds().to_numpy()
         sid = np.cumsum(new_user | (gap > SESSION_GAP_MIN * 60))
+        g["cents"] = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
         out = g.groupby(sid).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"), session_end=("ts", "max"),
-            n_events=("ts", "size"), sum_value=("value", "sum"))
-        out["sum_value"] = out["sum_value"].round(6)
+            n_events=("ts", "size"), cents=("cents", "sum"))
+        out["sum_value"] = out["cents"].to_numpy() / 100.0
         return out.reset_index(drop=True)[
             ["user_id", "session_start", "session_end", "n_events", "sum_value"]]
 
@@ -165,7 +188,8 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM numbered GROUP BY user_id, session_id
 """
 
@@ -197,25 +221,28 @@ def q_events_topk_users(sf_dir: str, k: int = 20) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby("user_id", as_index=False)["value"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        df = t.to_pandas()
+        df["cents"] = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        g = df.groupby("user_id", as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
     out = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
-             .sort(["total_value", "user_id"], descending=[True, False])
+             .groupby("user_id").aggregate(Sum("cents", alias_name="cents"))
+             .sort(["cents", "user_id"], descending=[True, False])
              .limit(k))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    import pyarrow.compute as pc
-    return t.set_column(t.schema.get_field_index("total_value"), "total_value",
-                        pc.round(t["total_value"], 6))
+    tv = t["cents"].to_numpy(zero_copy_only=False) / 100.0
+    return t.drop_columns(["cents"]).append_column(
+        "total_value", pa.array(tv, pa.float64()))
 
 
 def sql_events_topk_users(sf_dir: str, k: int = 20) -> str:
     return f"""
-SELECT user_id, round(sum(value), 6) AS total_value
+SELECT user_id,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY user_id
-ORDER BY sum(value) DESC, user_id LIMIT {k}
+ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC, user_id LIMIT {k}
 """
 
 

@@ -394,7 +394,7 @@ bs AS (SELECT doc_id, sum(c) AS n_bg,
               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
        FROM bgc GROUP BY 1)
 SELECT d.doc_id,
-       coalesce(ws.n_words, 0) AS n_words,
+       CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
        round(coalesce(ws.nd, 0) * 1.0 / greatest(coalesce(ws.n_words, 0), 1), 9)
          AS distinct_word_ratio,
        round(coalesce(ws.topc, 0) * 1.0 / greatest(coalesce(ws.n_words, 0), 1), 9)

@@ -282,16 +282,27 @@ def write_message_stream(paths: list[str], out_dir: str,
     def dump(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"n": pa.array([], pa.int64())})
-        b = int(t["scn_bucket"][0].as_py())
-        first_scn = int(t["c_scn"][0].as_py())
-        first_idx = int(t["order_idx"][0].as_py())
-        name = f"part-{b:05d}-{first_scn}-{first_idx}.ndjson"
-        body = "\n".join(t["msg"].to_pylist()) + "\n"
-        tmp = os.path.join(out_dir, "." + name + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(body)
-        os.rename(tmp, os.path.join(out_dir, name))   # atomic, rerun-safe
-        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+        # a map_batches batch can span a bucket boundary: split on bucket
+        # changes so every file holds exactly one bucket's lines (the
+        # one-file-per-bucket contract in the module docstring)
+        bk = t["scn_bucket"].to_numpy(zero_copy_only=False)
+        cuts = np.flatnonzero(bk[1:] != bk[:-1]) + 1
+        total = 0
+        for seg in np.split(np.arange(t.num_rows), cuts):
+            s = t.slice(int(seg[0]), len(seg))
+            b = int(bk[seg[0]])
+            first_scn = int(s["c_scn"][0].as_py())
+            first_idx = int(s["order_idx"][0].as_py())
+            # zero-padded so lexicographic filename order == (c_scn,
+            # order_idx) range order across digit-count changes
+            name = f"part-{b:05d}-{first_scn:020d}-{first_idx:012d}.ndjson"
+            body = "\n".join(s["msg"].to_pylist()) + "\n"
+            tmp = os.path.join(out_dir, "." + name + ".tmp")
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.rename(tmp, os.path.join(out_dir, name))  # atomic, rerun-safe
+            total += s.num_rows
+        return pa.table({"n": pa.array([total], pa.int64())})
 
     parts = ds.map_batches(dump, batch_format="pyarrow").take_all()
     return int(sum(r["n"] for r in parts))
@@ -319,7 +330,8 @@ def read_message_stream(stream_dir: str,
                         cfg: ReplayConfig | None = None) -> rd.Dataset:
     """Source for a reference-shaped NDJSON message stream (the inverse of
     `write_message_stream`): Dataset of flattened DML change events
-    (conv_id, turn_idx, op c/u/d, c_scn, scn, c_idx, after image columns).
+    (conv_id, turn_idx, op c/u/d, c_scn, xid, scn, c_idx, after image
+    columns).
     Vectorized: each batch of raw lines is parsed by pyarrow's JSON reader
     under an explicit schema (no per-line json.loads), begin/commit/chkpt/
     ddl envelopes are dropped, and the after-image struct is flattened to
@@ -330,11 +342,40 @@ def read_message_stream(stream_dir: str,
 
     cfg = cfg or ReplayConfig()
     files = sorted(_glob.glob(os.path.join(stream_dir, "*.ndjson")))
+    if not files:
+        raise FileNotFoundError(
+            f"no *.ndjson files in stream dir {stream_dir!r}")
     lines = rd.read_text(files)
     schema = _stream_schema()
 
+    def _empty_events() -> pa.Table:
+        return pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "op": pa.array([], pa.string()),
+            "c_scn": pa.array([], pa.int64()),
+            "xid": pa.array([], pa.string()),
+            "scn": pa.array([], pa.int64()),
+            "c_idx": pa.array([], pa.int64()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "tool_meta": pa.array([], pa.string()),
+        })
+
     def parse(t: pa.Table) -> pa.Table:
-        buf = ("\n".join(t["text"].to_pylist()) + "\n").encode()
+        if t.num_rows == 0:
+            return _empty_events()
+        # Arrow-native line join: one list-wrap + binary_join builds the
+        # NDJSON buffer zero-copy off the Python heap (was a per-line
+        # to_pylist + str.join — batch-bounded but pure Python)
+        col = t["text"].combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(col)], pa.int32()), col)
+        joined = pc.binary_join(lst, "\n")
+        nbytes = pc.binary_length(joined)[0].as_py()
+        buf = joined.buffers()[2].slice(0, nbytes)
         tab = paj.read_json(
             pa.BufferReader(buf),
             parse_options=paj.ParseOptions(explicit_schema=schema))
@@ -343,19 +384,7 @@ def read_message_stream(stream_dir: str,
         keep = pc.is_in(op, value_set=pa.array(["c", "u", "d"]))
         tab = tab.filter(keep)
         if tab.num_rows == 0:
-            return pa.table({
-                "conv_id": pa.array([], pa.string()),
-                "turn_idx": pa.array([], pa.int32()),
-                "op": pa.array([], pa.string()),
-                "c_scn": pa.array([], pa.int64()),
-                "scn": pa.array([], pa.int64()),
-                "c_idx": pa.array([], pa.int64()),
-                "role": pa.array([], pa.string()),
-                "text": pa.array([], pa.string()),
-                "tool": pa.array([], pa.string()),
-                "ts": pa.array([], pa.timestamp("us")),
-                "tool_meta": pa.array([], pa.string()),
-            })
+            return _empty_events()
         body = pc.list_element(tab["payload"], 0)
         rid = pc.struct_field(body, "rid").to_pandas()
         split = rid.str.rsplit("/", n=1)
@@ -367,6 +396,7 @@ def read_message_stream(stream_dir: str,
             "turn_idx": pa.array(split.str[1].astype(np.int64), pa.int32()),
             "op": pc.struct_field(body, "op"),
             "c_scn": tab["c_scn"],
+            "xid": tab["xid"],
             "scn": tab["scn"],
             "c_idx": tab["c_idx"],
             "role": pc.struct_field(after, "role"),
@@ -385,9 +415,12 @@ def replay_message_stream(stream_dir: str,
     """Replay a FULL-IMAGE NDJSON message stream to final table state —
     the consumer-side path: a user fed by the reference's JSON output can
     rebuild the table with this engine alone. LWW winner per (conv_id,
-    turn_idx) under (c_scn, scn, c_idx); commit SCNs are per-transaction
-    unique and c_idx follows (scn, scn_idx) within a transaction, so this
-    order equals the engine's (commit_scn, scn, scn_idx) apply order.
+    turn_idx) under (c_scn, xid, scn, c_idx): for this repo's generator
+    commit SCNs are per-transaction unique, so the order equals the
+    engine's (commit_scn, scn, scn_idx) apply order; for externally
+    produced streams where transactions can SHARE a commit SCN the xid
+    tie-break keeps the replay deterministic (same-scn ops from different
+    txns never interleave by c_idx alone).
     Distributed: conv-hash partitions, one vectorized lexsort/segment-last
     kernel per partition (coarse buckets, never per-key Python)."""
     cfg = cfg or ReplayConfig()
@@ -400,10 +433,16 @@ def replay_message_stream(stream_dir: str,
         return t.append_column(
             "part", pa.array((h % np.uint64(nparts)).astype(np.int32)))
 
+    OUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+                "tool_meta"]
+
     def winners(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:      # empty stream / future Ray edge case
+            return g.select(OUT_COLS)
         conv = np.asarray(g["conv_id"].to_numpy(zero_copy_only=False), object)
+        xid = np.asarray(g["xid"].to_numpy(zero_copy_only=False), object)
         order = np.lexsort((g["c_idx"].to_numpy(), g["scn"].to_numpy(),
-                            g["c_scn"].to_numpy(),
+                            xid, g["c_scn"].to_numpy(),
                             g["turn_idx"].to_numpy(), conv))
         g = g.take(pa.array(order))
         conv = conv[order]
@@ -413,8 +452,7 @@ def replay_message_stream(stream_dir: str,
         last[:-1] = (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])
         w = g.take(pa.array(np.flatnonzero(last)))
         w = w.filter(pc.invert(pc.equal(w["op"], "d")))
-        return w.select(["conv_id", "turn_idx", "role", "text", "tool",
-                         "ts", "tool_meta"])
+        return w.select(OUT_COLS)
 
     return (ev.map_batches(with_part, batch_format="pyarrow",
                            batch_size=cfg.batch_size)

@@ -834,7 +834,11 @@ CDC_ORACLES["cdc_corpus_stats"] = sql_cdc_corpus_stats
 def _stream_dir_for(sf_dir: str) -> str:
     """Materialize (once, cached beside the generated changelog) the
     reference-shaped NDJSON message stream for this scale. The writer is
-    rerun-safe (atomic renames, deterministic per-bucket names)."""
+    rerun-safe (atomic renames, deterministic per-bucket names); the cache
+    is keyed on a ``_SUCCESS`` sentinel written AFTER the full stream lands
+    (per-file atomicity is not per-run atomicity: an interrupted write
+    leaves a partial file set that a bare glob would silently replay)."""
+    import json
     import os
 
     from olrx.pipelines.emit import write_message_stream
@@ -842,9 +846,18 @@ def _stream_dir_for(sf_dir: str) -> str:
     cfg = GenConfig(scale=scale_for_sf_dir(sf_dir))
     d = ensure_changelog(cfg)
     stream_dir = d.rstrip("/") + "_stream"
-    if not glob.glob(stream_dir + "/*.ndjson"):
-        write_message_stream(sorted(glob.glob(d + "/*.parquet")), stream_dir,
-                             _replay_cfg())
+    sentinel = os.path.join(stream_dir, "_SUCCESS")
+    if not os.path.exists(sentinel):
+        # rebuild from scratch: stale partials from an interrupted run must
+        # not survive into the fresh stream
+        for f in glob.glob(stream_dir + "/*.ndjson"):
+            os.remove(f)
+        n = write_message_stream(sorted(glob.glob(d + "/*.parquet")),
+                                 stream_dir, _replay_cfg())
+        tmp = sentinel + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"messages": n}, f)
+        os.rename(tmp, sentinel)
     return stream_dir
 
 

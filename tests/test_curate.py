@@ -64,6 +64,26 @@ def test_contamination_flags_shared_long_ngrams(tmp_path):
     assert out.n_hits.iloc[0] > 0
 
 
+def test_contamination_join_path_matches_broadcast(tmp_path):
+    """broadcast_cap=0 forces the distributed semi-join path; both paths
+    must produce identical tables (the cap only changes the data movement,
+    never the answer)."""
+    probe = "the secret benchmark answer is forty two exactly"
+    sf = _write_docs(tmp_path, [0, 1, 2, 3], [
+        f"eval doc holds {probe} inside it",
+        f"train doc leaked {probe} verbatim here",
+        "an entirely innocent training document about gardening tools",
+        f"another leaker repeating {probe} once more for luck",
+    ])
+    from olrx.ops.curate import q_contamination
+
+    bcast = q_contamination(sf)
+    joined = q_contamination(sf, broadcast_cap=0)
+    assert joined.schema == bcast.schema
+    assert joined.equals(bcast)
+    assert sorted(joined["doc_id"].to_pylist()) == [1, 3]
+
+
 def test_curation_pipeline_composes_all_three_stages(tmp_path):
     """Quality gate drops the junk docs, the purge drops the worse near-dup
     twin, and the survivors get contiguous pack coordinates in id order."""

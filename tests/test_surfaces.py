@@ -263,3 +263,30 @@ def test_message_stream_writer_deterministic(tmp_path, gen_small):
 
     da, db = digest(a), digest(b)
     assert da == db and len(da) > 0
+
+
+def test_stream_filenames_in_range_order(tmp_path, gen_small):
+    """Lexicographic filename order must equal (c_scn, order_idx) range
+    order (zero-padded names), and every file holds exactly one bucket's
+    lines — the consumer total-order contract in the emit docstring."""
+    import json as _json
+
+    from olrx.pipelines.emit import write_message_stream
+
+    _, _, paths, _ = gen_small
+    out = str(tmp_path / "stream")
+    write_message_stream(paths, out, ReplayConfig(num_partitions=8))
+    names = sorted(f for f in os.listdir(out) if f.endswith(".ndjson"))
+    assert names
+    firsts, lasts, buckets = [], [], []
+    for f in names:
+        lines = open(os.path.join(out, f)).read().splitlines()
+        recs = [_json.loads(ln) for ln in lines]
+        firsts.append(recs[0]["c_scn"])
+        lasts.append(recs[-1]["c_scn"])
+        buckets.append(int(f.split("-")[1]))
+    # filename sort order == c_scn range order, files non-overlapping
+    for i in range(1, len(names)):
+        assert lasts[i - 1] <= firsts[i], (names[i - 1], names[i])
+    # one bucket per file and bucket ids non-decreasing in name order
+    assert buckets == sorted(buckets)
