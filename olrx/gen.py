@@ -79,6 +79,8 @@ class GenConfig:
     hot_conv_factor: int = 0       # conv 0 gets factor*avg_turns turns (skew)
     partial_images: bool = False   # True → U events carry only changed columns
     ddl: bool = True               # emit the add-column DDL mid-stream
+    ddl_drop: bool = False         # ALSO drop tool_meta later in the stream
+                                   # (non-additive evolution; requires ddl)
     special_char_every: int = 37   # every k-th text gets a special snippet
     gen_version: int = 2           # bump to invalidate on-disk caches when
                                    # generator CODE changes (digest covers
@@ -100,6 +102,7 @@ class GenResult:
     ddl_scn: int              # -1 when no DDL
     n_committed_txns: int
     config: GenConfig = field(repr=False, default=None)
+    drop_scn: int = -1        # commit SCN of the drop DDL (-1 when absent)
 
 
 def _as_array(a):
@@ -327,9 +330,16 @@ def generate(cfg: GenConfig) -> GenResult:
 
     # ---- DDL txn ----------------------------------------------------------
     ddl_scn = -1
+    drop_scn = -1
     if cfg.ddl:
         t_at = int(n_txn * 0.4)
         ddl_scn = int(SCN0 + t_at * SCN_STRIDE + 3)
+        if cfg.ddl_drop:
+            # non-additive evolution: the column added at ddl_scn is DROPPED
+            # again later (reference SystemTransaction::processDelete,
+            # /root/reference/src/builder/SystemTransaction.cpp:640)
+            t_drop = int(n_txn * 0.75)
+            drop_scn = int(SCN0 + t_drop * SCN_STRIDE + 3)
 
     # ---- build flat event arrays (chains + extras) ------------------------
     def col(name):
@@ -356,8 +366,10 @@ def generate(cfg: GenConfig) -> GenResult:
         pa.array(np.where(tool_code < 3, 5, tool_code % 5))))
     ev_ts = EPOCH_US + scn * 1_000_000
     post_ddl = (ev_cscn > ddl_scn) if ddl_scn > 0 else np.zeros(n, bool)
+    # post-drop redo no longer carries the dropped column at all
+    post_drop = (ev_cscn > drop_scn) if drop_scn > 0 else np.zeros(n, bool)
     meta_code = (ki * 17 + ti * 3 + ver * 5) % 4
-    meta_populated = post_ddl & (meta_code < 2)
+    meta_populated = post_ddl & ~post_drop & (meta_code < 2)
     tool_meta = _as_array(pa.array([f"meta{k}" for k in range(4)] + [None],
                                    pa.string()).take(
         pa.array(np.where(meta_populated, meta_code, 4))))
@@ -366,7 +378,8 @@ def generate(cfg: GenConfig) -> GenResult:
     is_u = opc == "U"
     is_d = opc == "D"
     base_bits = S.full_mask(0)
-    full_bits = np.where(post_ddl, S.full_mask(1), base_bits).astype(np.int32)
+    full_bits = np.where(post_ddl & ~post_drop, S.full_mask(1),
+                         base_bits).astype(np.int32)
     mask = full_bits.copy()
     if cfg.partial_images:
         # U events: always text; tool with p=.5 (20% of those explicit-null);
@@ -420,12 +433,18 @@ def generate(cfg: GenConfig) -> GenResult:
         c_ddl = np.concatenate([c_ddl, np.full(m_pr, None, dtype=object)])
         c_undo_scn = np.concatenate([c_undo_scn, pr_ctl["undo_scn"]]).astype(np.int64)
         c_undo_idx = np.concatenate([c_undo_idx, pr_ctl["undo_scn_idx"]]).astype(np.int64)
+    ddl_txns = []
     if ddl_scn > 0:
-        payload = json.dumps({"add_columns": [{"name": "tool_meta", "type": "string"}]})
-        c_scn = np.concatenate([c_scn, [ddl_scn - 1, ddl_scn, ddl_scn]])
+        ddl_txns.append((ddl_scn, "xddl", json.dumps(
+            {"add_columns": [{"name": "tool_meta", "type": "string"}]})))
+    if drop_scn > 0:
+        ddl_txns.append((drop_scn, "xdrop", json.dumps(
+            {"drop_columns": ["tool_meta"]})))
+    for d_scn, d_xid, payload in ddl_txns:
+        c_scn = np.concatenate([c_scn, [d_scn - 1, d_scn, d_scn]])
         c_idx = np.concatenate([c_idx, [0, 1, COMMIT_SCN_IDX]])
         c_shard = np.concatenate([c_shard, np.zeros(3, np.int16)]).astype(np.int16)
-        c_xid = np.concatenate([c_xid, np.array(["xddl"] * 3, dtype=object)])
+        c_xid = np.concatenate([c_xid, np.array([d_xid] * 3, dtype=object)])
         c_op = np.concatenate([c_op, np.array(["B", "DDL", "C"], dtype="U3")])
         c_ddl = np.concatenate([c_ddl, np.array([None, payload, None], dtype=object)])
         c_undo_scn = np.concatenate([c_undo_scn, np.full(3, -1, np.int64)])
@@ -558,7 +577,8 @@ def generate(cfg: GenConfig) -> GenResult:
         }))
 
     tbl = pa.concat_tables(tables)
-    return GenResult(table=tbl, ddl_scn=ddl_scn, n_committed_txns=n_txn, config=cfg)
+    return GenResult(table=tbl, ddl_scn=ddl_scn, n_committed_txns=n_txn,
+                     config=cfg, drop_scn=drop_scn)
 
 
 # ---------------------------------------------------------------------------
@@ -637,6 +657,7 @@ def ensure_changelog(cfg: GenConfig, root: str = "/tmp/olrx_data") -> str:
     os.makedirs(d, exist_ok=True)
     write_segments(res, d)
     meta = {"config": asdict(cfg), "ddl_scn": res.ddl_scn,
+            "drop_scn": res.drop_scn,
             "n_committed_txns": res.n_committed_txns, "rows": res.table.num_rows}
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:

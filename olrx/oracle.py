@@ -56,12 +56,24 @@ def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1
     all_cols = [n for n, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
     state: dict[tuple[str, int], dict] = {}
     schema_version = 0
+    dropped: list[str] = []
+    import json as _json
     for row in ev.itertuples():
         pos = (row.commit_scn, row.scn, row.scn_idx)
         if pos <= start_watermark:
             continue
         if row.op == "DDL":
-            schema_version = min(schema_version + 1, S.MAX_SCHEMA_VERSION)
+            try:
+                p = _json.loads(row.ddl) if row.ddl else {}
+            except (TypeError, ValueError):
+                p = {}
+            if p.get("drop_columns"):
+                # non-additive: the column vanishes from the table schema
+                # (SystemTransaction.cpp:640); prior row values are discarded
+                dropped.extend(c for c in p["drop_columns"]
+                               if c not in dropped)
+            else:
+                schema_version = min(schema_version + 1, S.MAX_SCHEMA_VERSION)
             continue
         key = ((row.table_name, row.conv_id, int(row.turn_idx))
                if include_table else (row.conv_id, int(row.turn_idx)))
@@ -81,7 +93,8 @@ def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1
                 if mask & (1 << i):
                     cur[c] = img.get(c)
 
-    cols = [n for n, _ in S.payload_columns(schema_version)]
+    cols = [n for n, _ in S.payload_columns(schema_version)
+            if n not in dropped]
     keys = sorted(state)
     if include_table:
         data = {
@@ -98,4 +111,5 @@ def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1
         data[c] = [state[k][c] for k in keys]
     out = pa.Table.from_pydict(data)
     return out.cast(S.transcripts_schema(schema_version,
-                                         include_table=include_table))
+                                         include_table=include_table,
+                                         dropped=tuple(dropped)))

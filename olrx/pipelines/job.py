@@ -105,15 +105,33 @@ class TailSession:
     takes effect at the next iteration with no job bounce. Manifests keep
     the iterations idempotent regardless of when the config flips: already-
     confirmed partitions are watermark-skipped, only new/now-tracked data
-    is applied."""
+    is applied.
 
-    def __init__(self, spec_path: str) -> None:
+    Live metrics (reference MetricsPrometheus analog,
+    /root/reference/src/common/metrics/MetricsPrometheus.cpp): every
+    iteration folds its stats into a :class:`LiveMetrics` registry, writes
+    an atomic JSON snapshot at ``<target.uri>/_metrics/live.json``, and —
+    with ``metrics_port`` set (0 = ephemeral) — serves Prometheus text at
+    ``http://127.0.0.1:<port>/metrics`` from a stdlib daemon thread."""
+
+    def __init__(self, spec_path: str,
+                 metrics_port: "int | None" = None) -> None:
+        from olrx.state.metrics import LiveMetrics, MetricsServer
+
         self.spec_path = spec_path
         self._mtime_ns: int | None = None
         self.job: dict = {}
         self.cfg: ReplayConfig | None = None
         self.reloads = 0
+        self.metrics = LiveMetrics()
+        self.metrics_server = (MetricsServer(self.metrics, metrics_port)
+                               if metrics_port is not None else None)
         self._reload_if_changed()
+
+    def close(self) -> None:
+        if self.metrics_server is not None:
+            self.metrics_server.close()
+            self.metrics_server = None
 
     def _reload_if_changed(self) -> bool:
         st = os.stat(self.spec_path)
@@ -138,8 +156,15 @@ class TailSession:
         paths = _resolve_paths(self.job.get("source", {}))
         if not paths:
             raise ValueError("no input segments matched the job source")
-        return replay_to_lake(paths, self.job["target"]["uri"], self.cfg,
-                              resume=True)
+        res = replay_to_lake(paths, self.job["target"]["uri"], self.cfg,
+                             resume=True)
+        from olrx.pipelines.replay import LAST_TIMINGS
+        self.metrics.record_iteration(res, dict(LAST_TIMINGS), self.reloads)
+        try:
+            self.metrics.write_json(self.job["target"]["uri"])
+        except OSError:
+            pass   # read-only lake target: the HTTP surface still serves
+        return res
 
 
 def run_tail(spec_path: str, iterations: int | None = None,

@@ -275,6 +275,7 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
     cfg = cfg or ReplayConfig()
     control = load_control(paths)
     sv = control.schema_version
+    dropped = control.dropped_columns
     hot = (detect_hot_keys(paths, frac_threshold=cfg.hot_frac_threshold)
            if cfg.salt_hot else None)
     events = _decoded_events(paths, cfg, control, hot=hot)
@@ -283,12 +284,13 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
         nbytes = sum(os.path.getsize(p) for p in paths)
         refs = run_actor_exchange(events, cfg.resolved_num_appliers(nbytes), sv,
                                   compact_threshold=cfg.applier_compact_threshold,
-                                  as_refs=True, multi_table=cfg.multi_table)
+                                  as_refs=True, multi_table=cfg.multi_table,
+                                  dropped=dropped)
         # result stays distributed: appliers return block refs, the driver
         # never concatenates the full table (VERDICT "what's wrong" #2)
         return ReplayResult(control=control, dataset=rd.from_arrow_refs(refs))
     final = events.groupby("part").map_groups(
-        lambda g: merge_apply(g, sv), batch_format="pyarrow")
+        lambda g: merge_apply(g, sv, dropped), batch_format="pyarrow")
     return ReplayResult(control=control, dataset=final)
 
 
@@ -296,7 +298,8 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
                       safe_watermark: int, max_commit_scn: int,
                       max_txn_span: int = 0,
                       counters: "dict[str, int] | None" = None,
-                      output_codec: str = "zstd") -> pa.Table:
+                      output_codec: str = "zstd",
+                      dropped: tuple = ()) -> pa.Table:
     """Lake-mode per-partition apply: merge with base state, write parquet
     atomically, then publish the manifest. Idempotent under task retries:
     a retry re-reads the (old) manifest, recomputes the same bytes and
@@ -339,7 +342,7 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
             group = pa.concat_tables([_base_as_events(base, prev), group],
                                      promote_options="default")
 
-    final = merge_apply(group, schema_version)
+    final = merge_apply(group, schema_version, dropped)
 
     part_dir = os.path.join(out_dir, f"part-{part:05d}")
     os.makedirs(part_dir, exist_ok=True)
@@ -357,6 +360,7 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
         partition=part,
         watermark_commit_scn=target_watermark,
         schema_version=schema_version,
+        dropped_columns=sorted(dropped),
         files=[os.path.join(f"part-{part:05d}", fname)],
         rows=final.num_rows,
         counters=counters,
@@ -444,9 +448,14 @@ def replay_to_lake(paths: list[str], out_dir: str,
     control = load_control(paths)
     LAST_TIMINGS["control"] = round(_time.perf_counter() - _t0, 3)
     control.max_txn_span = max(control.max_txn_span, prev_span)
-    prev_sv = max((m.schema_version for m in MF.read_all(mdir).values()),
-                  default=0) if resume else 0
+    prev_ms = MF.read_all(mdir) if resume else {}
+    prev_sv = max((m.schema_version for m in prev_ms.values()), default=0)
     sv = max(prev_sv, control.schema_version)
+    # version fence: drops recorded by earlier runs stay dropped on resume,
+    # new drops in this input's control stream extend the set
+    dropped = tuple(sorted(
+        {c for m in prev_ms.values() for c in m.dropped_columns}
+        | set(control.dropped_columns)))
     safe_wm = cfg.safe_watermark(control)
     max_commit = control.max_commit_scn
     hot = _resolved_hot_keys(paths, out_dir, cfg, resume)
@@ -473,12 +482,14 @@ def replay_to_lake(paths: list[str], out_dir: str,
                         max_commit_scn=max_commit, max_txn_span=span,
                         output_codec=cfg.output_codec),
             compact_threshold=cfg.applier_compact_threshold,
-            multi_table=cfg.multi_table, part_watermarks=wms)
+            multi_table=cfg.multi_table, part_watermarks=wms,
+            dropped=dropped)
         MF.write_lake_watermark(mdir, safe_wm, sv)
         return ReplayResult(control=control, stats=stats, out_dir=out_dir)
     stats_ds = events.groupby("part").map_groups(
         lambda g: _apply_and_commit(g, out_dir, sv, safe_wm, max_commit, span,
-                                    output_codec=cfg.output_codec),
+                                    output_codec=cfg.output_codec,
+                                    dropped=dropped),
         batch_format="pyarrow")
     stats_df = stats_ds.to_pandas()
     if stats_df.empty:  # nothing new anywhere (all dropped at the floor)
@@ -527,6 +538,8 @@ def read_lake(out_dir: str) -> rd.Dataset:
     ms = MF.read_all(os.path.join(out_dir, "_manifest"))
     files = [os.path.join(out_dir, rel) for m in ms.values() for rel in m.files]
     schema_version = max((m.schema_version for m in ms.values()), default=0)
+    dropped = tuple(sorted(
+        {c for m in ms.values() for c in m.dropped_columns}))
     inc = bool(files) and "table_name" in pq.read_schema(files[0]).names
     return rd.read_parquet(files, schema=S.transcripts_schema(
-        schema_version, include_table=inc))
+        schema_version, include_table=inc, dropped=dropped))

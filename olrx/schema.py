@@ -51,13 +51,22 @@ def payload_columns(schema_version: int = 0) -> list[tuple[str, pa.DataType]]:
 
 
 def transcripts_schema(schema_version: int = 0,
-                       include_table: bool = False) -> pa.Schema:
+                       include_table: bool = False,
+                       dropped: tuple[str, ...] = ()) -> pa.Schema:
     """Lake-table schema. ``include_table`` prepends the ``table_name`` key
     column (multi-table replay, reference Schema dictionary tracking many
     tables via owner/table maps, /root/reference/src/metadata/Schema.h:119-129);
-    single-table pipelines keep the historical two-column key."""
+    single-table pipelines keep the historical two-column key.
+
+    ``dropped``: payload columns removed by committed DROP DDLs
+    (non-additive evolution — the reference's SystemTransaction handles
+    dictionary-row DELETE too, SystemTransaction.cpp:640); the lake schema
+    after a drop simply lacks the column. Re-adding a previously dropped
+    column is out of scope (a fresh dictionary column in the reference)."""
     head = [("table_name", pa.string())] if include_table else []
-    return pa.schema(head + KEY_COLUMNS + payload_columns(schema_version))
+    payload = [(n, t) for n, t in payload_columns(schema_version)
+               if n not in dropped]
+    return pa.schema(head + KEY_COLUMNS + payload)
 
 
 MAX_SCHEMA_VERSION = len(ADDITIVE_COLUMNS)

@@ -29,21 +29,28 @@ from olrx import schema as S
 from olrx.stages.decode import OP_D, OP_I, OP_U
 
 
-def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
+def merge_apply(group: pa.Table, schema_version: int,
+                dropped: tuple = ()) -> pa.Table:
     """Reduce decoded events to final transcript rows.
 
     ``group`` has decode-stage layout: key columns, ``op_code``, order
     columns, ``changed_mask`` and ``v_<payload>`` value columns
     (full-width). Keys may span multiple hash partitions — ``(conv_id,
     turn_idx)`` is globally unique, so the reduction is partition-agnostic.
-    Output is ``transcripts_schema(schema_version)``.
+    Output is ``transcripts_schema(schema_version, dropped=dropped)``.
+
+    ``dropped``: payload columns removed by committed DROP DDLs — excluded
+    from the winner gather entirely (their payload bytes are never moved),
+    so old-version rows stay replayable while the output schema lacks the
+    column (reference SystemTransaction.cpp:640).
     """
-    payload = [n for n, _ in S.payload_columns(schema_version)]
+    payload = [n for n, _ in S.payload_columns(schema_version)
+               if n not in dropped]
     multi = "table_name" in group.column_names
     n = group.num_rows
     if n == 0:
-        return S.transcripts_schema(schema_version,
-                                    include_table=multi).empty_table()
+        return S.transcripts_schema(schema_version, include_table=multi,
+                                    dropped=dropped).empty_table()
 
     def as_np(col) -> np.ndarray:
         # ChunkedArray.to_numpy on many chunks is a slow per-chunk path
@@ -120,7 +127,8 @@ def merge_apply(group: pa.Table, schema_version: int) -> pa.Table:
         out_cols[name] = vals
 
     out = pa.table(out_cols)
-    return out.cast(S.transcripts_schema(schema_version, include_table=multi))
+    return out.cast(S.transcripts_schema(schema_version, include_table=multi,
+                                         dropped=dropped))
 
 
 def compact_events(group: pa.Table) -> pa.Table:

@@ -65,13 +65,18 @@ OP_LETTER = pa.array(["I", "U", "D"])
 @dataclass
 class ControlInfo:
     commit_map: pa.Table          # (xid: string, commit_scn: int64)
-    ddl_scns: list[int]           # commit SCNs of committed DDL events
+    ddl_scns: list[int]           # commit SCNs of committed ADD-column DDLs
     max_commit_scn: int           # high-water mark of this input (watermark)
     shard_watermarks: dict[int, int]  # shard → max control scn seen (RAC analog)
     max_txn_span: int = 0         # max (commit_scn - begin_scn) observed
     #: sorted mixed keys of PR-undone ops — the partial-rollback anti-join
     #: set (reference: rollbackLastOp pairing, Transaction.cpp:73-148)
     pr_sorted: "np.ndarray | None" = None
+    #: payload columns removed by committed DROP DDLs (non-additive
+    #: evolution — reference SystemTransaction::processDelete,
+    #: /root/reference/src/builder/SystemTransaction.cpp:640). Applied after
+    #: adds; the final lake schema simply lacks these columns.
+    dropped_columns: tuple = ()
 
     @property
     def schema_version(self) -> int:
@@ -131,7 +136,7 @@ def _sidecar_paths(paths: list[str]) -> list[str] | None:
 
 
 #: bump when ControlInfo derivation changes — invalidates summary caches
-_CTL_SUMMARY_VERSION = 2
+_CTL_SUMMARY_VERSION = 3
 
 #: checkpoints kept per _ctl directory — a growing tail directory writes one
 #: summary per file-set digest; older ones are pruned on each write, the
@@ -167,6 +172,7 @@ def _save_control_summary(cp: str, info: ControlInfo) -> None:
     head = json.dumps({
         "v": _CTL_SUMMARY_VERSION,
         "ddl_scns": [int(x) for x in info.ddl_scns],
+        "dropped_columns": list(info.dropped_columns),
         "max_commit_scn": int(info.max_commit_scn),
         "shard_watermarks": {str(k): int(v)
                              for k, v in info.shard_watermarks.items()},
@@ -198,6 +204,7 @@ def _load_control_summary(cp: str) -> "ControlInfo | None":
     info = ControlInfo(
         commit_map=commit_map,
         ddl_scns=[int(x) for x in head["ddl_scns"]],
+        dropped_columns=tuple(head.get("dropped_columns", [])),
         max_commit_scn=int(head["max_commit_scn"]),
         shard_watermarks={int(k): int(v)
                           for k, v in head["shard_watermarks"].items()},
@@ -325,14 +332,31 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
             if g.num_rows:
                 max_txn_span = int(pc.max(
                     pc.subtract(g["scn_max"], g["scn_min"])).as_py() or 0)
-    # committed DDLs: DDL row whose xid is in the commit map (hash lookup)
+    # committed DDLs: DDL row whose xid is in the commit map (hash lookup).
+    # Payloads are parsed here (O(#DDLs) — a handful per stream): adds drive
+    # the schema version, drops collect into dropped_columns in commit order
     ddls = ctl.filter(pc.equal(ctl["op"], "DDL"))
     ddl_scns: list[int] = []
+    dropped_columns: list[str] = []
     if ddls.num_rows and commit_map.num_rows:
+        import json as _json
         d_h = ddls["xid_h"].to_numpy(zero_copy_only=False)
         pos = np.clip(np.searchsorted(lookup[0], d_h), 0, len(lookup[0]) - 1)
         found = lookup[0][pos] == d_h
-        ddl_scns = sorted(int(x) for x in lookup[1][pos][found])
+        cscn = lookup[1][pos]
+        payloads = ddls["ddl"].to_pylist()
+        committed = sorted((int(cscn[i]), payloads[i] or "")
+                           for i in np.flatnonzero(found))
+        for scn_i, raw in committed:
+            try:
+                p = _json.loads(raw) if raw else {}
+            except ValueError:
+                p = {}
+            if p.get("drop_columns"):
+                dropped_columns.extend(c for c in p["drop_columns"]
+                                       if c not in dropped_columns)
+            else:
+                ddl_scns.append(scn_i)
     # partial-rollback targets: (xid, undo_scn, undo_scn_idx) of PR rows,
     # mixed to one sorted key array for the decode anti-join
     pr_sorted = np.zeros(0, np.uint64)
@@ -351,7 +375,8 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
                             per_shard["scn_max"].to_pylist()))
     info = ControlInfo(commit_map=commit_map, ddl_scns=ddl_scns,
                        max_commit_scn=max_commit, shard_watermarks=shard_wm,
-                       max_txn_span=max_txn_span, pr_sorted=pr_sorted)
+                       max_txn_span=max_txn_span, pr_sorted=pr_sorted,
+                       dropped_columns=tuple(dropped_columns))
     info.lookup_arrays = lookup
     return info
 

@@ -199,10 +199,12 @@ class PartitionApplier:
                  schema_version: int,
                  compact_threshold: int = 0,
                  multi_table: bool = False,
-                 part_watermarks: "np.ndarray | None" = None) -> None:
+                 part_watermarks: "np.ndarray | None" = None,
+                 dropped: tuple = ()) -> None:
         self.applier_id = applier_id
         self.num_appliers = num_appliers
         self.schema_version = schema_version
+        self.dropped = tuple(dropped)
         self.multi_table = multi_table
         self.meta_runs: list[pa.Table] = []   # heap-owned meta tables
         self.tail_rows = 0                    # un-folded rows since last fold
@@ -352,8 +354,9 @@ class PartitionApplier:
         if held is None:
             from olrx import schema as S
             return S.transcripts_schema(
-                self.schema_version, include_table=self.multi_table).empty_table()
-        return merge_apply(held[0], self.schema_version)
+                self.schema_version, include_table=self.multi_table,
+                dropped=self.dropped).empty_table()
+        return merge_apply(held[0], self.schema_version, self.dropped)
 
     def finalize_commit(self, out_dir: str, safe_watermark: int,
                         max_commit_scn: int, max_txn_span: int,
@@ -387,7 +390,7 @@ class PartitionApplier:
                     all_events.take(pa.array(sel)), out_dir,
                     self.schema_version, safe_watermark, max_commit_scn,
                     max_txn_span, counters=counters,
-                    output_codec=output_codec))
+                    output_codec=output_codec, dropped=self.dropped))
         if not stats:
             from olrx.pipelines.replay import _stats_row
             return _stats_row(-1, 0, safe_watermark, True, {})[:0]
@@ -502,7 +505,8 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
                        compact_threshold: int = 0,
                        as_refs: bool = False,
                        multi_table: bool = False,
-                       part_watermarks: "np.ndarray | None" = None):
+                       part_watermarks: "np.ndarray | None" = None,
+                       dropped: tuple = ()):
     """Drive the routed stream and finalize.
 
     ``commit=None`` → final transcript rows: a list of per-applier Arrow
@@ -516,7 +520,7 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
     codec = default_blob_codec()
     appliers = [PartitionApplier.remote(a, num_appliers, schema_version,
                                         compact_threshold, multi_table,
-                                        part_watermarks)
+                                        part_watermarks, dropped)
                 for a in range(num_appliers)]
     # routers ray.put with _owner=applier, which needs the owner's address —
     # an actor still pending creation has none ("worker_id is empty"). The

@@ -37,6 +37,10 @@ class PartitionManifest:
     files: list[str]
     rows: int
     counters: dict[str, int] = field(default_factory=dict)
+    #: payload columns removed by committed DROP DDLs — the non-additive
+    #: half of the version fence (adds advance schema_version, drops land
+    #: here; reference SystemTransaction.cpp:640)
+    dropped_columns: list[str] = field(default_factory=list)
     #: max observed (commit_scn - begin_scn): the scan-pruning bound for
     #: incremental re-reads (events of unconfirmed txns have scn > W - span)
     max_txn_span: int = 0

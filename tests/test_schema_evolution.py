@@ -54,3 +54,53 @@ def test_mixed_schema_replay(mixed_schema_dir):
     res = replay_dataset(paths, ReplayConfig(num_partitions=8))
     got = sorted_table(res.dataset, exp.schema)
     assert got.equals(exp)
+
+
+def test_drop_column_mid_stream():
+    """Non-additive evolution (reference SystemTransaction::processDelete,
+    /root/reference/src/builder/SystemTransaction.cpp:640): tool_meta is
+    added at ddl_scn and DROPPED again at drop_scn. The final table must
+    lack the column entirely; pre-drop rows (whose images carry it) stay
+    replayable. Engine vs the independent naive oracle, row-for-row."""
+    import json
+
+    d = ensure_changelog(GenConfig(scale=0.001, ddl_drop=True))
+    meta = json.load(open(os.path.join(d, "_COMPLETE")))
+    assert meta["drop_scn"] > meta["ddl_scn"] > 0
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    exp = apply_naive(full).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert "tool_meta" not in exp.schema.names  # oracle models the drop
+    res = replay_dataset(paths, ReplayConfig(num_partitions=8))
+    got = sorted_table(res.dataset, exp.schema)
+    assert got.equals(exp)
+
+
+def test_drop_column_lake_fence_and_resume(tmp_path):
+    """The lake manifests record the dropped column (the version fence) and
+    an incremental replay across the drop boundary converges to the same
+    dropped-schema state: partitions written pre-drop carry tool_meta in
+    their snapshots, the resumed run removes it."""
+    import json
+
+    from olrx.pipelines.replay import read_lake, replay_to_lake
+    from olrx.state import manifest as MF
+
+    d = ensure_changelog(GenConfig(scale=0.001, ddl_drop=True))
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    exp = apply_naive(full).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    out = str(tmp_path / "lake")
+    cfg = ReplayConfig(num_partitions=8)
+    # leg 1: only the first segments (the drop DDL commits late in the
+    # stream, so this lake may still carry tool_meta)
+    first = [p for p in paths if "seg0000" in p or "seg0001" in p]
+    replay_to_lake(first, out, cfg)
+    # leg 2: full stream resumes over the same lake — crosses the drop
+    replay_to_lake(paths, out, cfg)
+    got = sorted_table(read_lake(out), exp.schema)
+    assert got.equals(exp)
+    ms = MF.read_all(os.path.join(out, "_manifest"))
+    assert ms and all(m.dropped_columns == ["tool_meta"] for m in ms.values())

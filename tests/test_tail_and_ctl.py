@@ -240,3 +240,86 @@ def test_fold_materialize_path(tmp_path, gen_small, expected_small):
     # lineage counters survive the fold path (winner counts would be lower)
     ms = MF.read_all(os.path.join(out, "_manifest"))
     assert sum(m.counters.get("events", 0) for m in ms.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# live metrics surface (reference MetricsPrometheus.cpp analog)
+# ---------------------------------------------------------------------------
+
+def test_tail_live_metrics_surface(tmp_path, gen_small):
+    """Counters advance across tail iterations, match the manifest totals,
+    and both live surfaces (JSON snapshot file + HTTP /metrics endpoint)
+    serve them while the session runs."""
+    import urllib.request
+
+    from olrx.pipelines.job import TailSession
+    from olrx.state.metrics import lake_metrics
+
+    _, _, paths, _ = gen_small
+    src = tmp_path / "segments"
+    src.mkdir()
+    lake = str(tmp_path / "lake")
+    spec_path = str(tmp_path / "job.json")
+    with open(spec_path, "w") as f:
+        json.dump({"source": {"directory": str(src)},
+                   "target": {"uri": lake, "num_partitions": 16},
+                   "mode": "tail"}, f)
+
+    first = [p for p in paths if "seg0000" in p or "seg0001" in p]
+    for p in first:
+        shutil.copy(p, src / os.path.basename(p))
+
+    sess = TailSession(spec_path, metrics_port=0)
+    try:
+        sess.run_once()
+        snap1 = sess.metrics.snapshot()
+        assert snap1["counters"]["olrx_iterations_total"] == 1
+        ev1 = snap1["counters"]["olrx_events_applied_total"]
+        assert ev1 > 0
+        # fresh lake: live counters equal the manifest totals exactly (two
+        # independent paths — stats rows folded on the driver vs counters
+        # the appliers wrote into manifests)
+        m1 = lake_metrics(lake)
+        assert ev1 == m1.counters["events"]
+        for op, nm in (("insert", "inserts"), ("update", "updates"),
+                       ("delete", "deletes")):
+            assert (snap1["counters"][f'olrx_dml_ops_total{{op="{op}"}}']
+                    == m1.counters[nm]), nm
+
+        wm1 = {p: m.watermark_commit_scn
+               for p, m in MF.read_all(os.path.join(lake, "_manifest")).items()}
+
+        # second iteration: the rest of the stream arrives
+        for p in paths:
+            if p not in first:
+                shutil.copy(p, src / os.path.basename(p))
+        sess.run_once()
+        snap2 = sess.metrics.snapshot()
+        assert snap2["counters"]["olrx_iterations_total"] == 2
+        ev2 = snap2["counters"]["olrx_events_applied_total"]
+        assert ev2 > ev1, "counters must advance across iterations"
+        # iteration-2 delta == the manifest deltas of the partitions that
+        # advanced (manifest counters are per-run stream counts; untouched
+        # partitions keep their iteration-1 manifests)
+        ms2 = MF.read_all(os.path.join(lake, "_manifest"))
+        delta2 = sum(m.counters.get("events", 0) for p, m in ms2.items()
+                     if m.watermark_commit_scn > wm1.get(p, -1))
+        assert ev2 - ev1 == delta2
+        m = lake_metrics(lake)
+        assert snap2["gauges"]["olrx_lake_rows"] == m.rows
+        assert snap2["gauges"]["olrx_checkpoint_lag"] == \
+            m.watermark_max - m.watermark_min
+
+        # JSON snapshot file written next to the manifests
+        live = json.load(open(os.path.join(lake, "_metrics", "live.json")))
+        assert live["counters"]["olrx_events_applied_total"] == ev2
+
+        # HTTP endpoint serves Prometheus text + JSON live
+        base = f"http://127.0.0.1:{sess.metrics_server.port}"
+        prom = urllib.request.urlopen(f"{base}/metrics").read().decode()
+        assert f"olrx_events_applied_total {ev2}" in prom
+        via_http = json.loads(
+            urllib.request.urlopen(f"{base}/metrics.json").read())
+        assert via_http["counters"]["olrx_iterations_total"] == 2
+    finally:
+        sess.close()
