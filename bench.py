@@ -31,10 +31,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: input scale for --scaling runs: large enough that per-run fixed overhead
 #: (worker/actor spawn ~2-5 s) is amortized and both runs are compute-bound.
-#: Practical ceiling on this box is ~scale 8-16: the synthetic generator
-#: (olrx/gen.py) builds the whole stream driver-side before writing segments
-#: (~10 GB RAM per scale unit of 4 at peak; scale 32 exceeded 83 GB and was
-#: aborted) — a test-tooling limit, not an engine one (the engine streams).
+#: Generation streams to disk (olrx.gen.generate_segments: peak RAM is one
+#: 4M-row assembly chunk + the integer backbone, not the whole payload), so
+#: scale is bounded by disk, not driver memory — the old eager path aborted
+#: at scale 32 / >83 GB; the streamed writer lifted that ceiling (r4).
 SCALING_SCALE = float(os.environ.get("OLRX_SCALING_SCALE", "8.0"))
 
 

@@ -112,50 +112,17 @@ def _as_array(a):
     return a
 
 
-def _make_text(ki: np.ndarray, ti: np.ndarray, ver: np.ndarray,
-               cfg: GenConfig, rng: np.random.Generator) -> pa.Array:
-    """Vectorized deterministic text: ``conv{k}-turn{t}-v{v} lorem...`` with
-    special-char snippets sprinkled in. All Arrow C++ kernels — no Python
-    per-row work, so bench-scale generation stays linear."""
-    import pyarrow.compute as pc
-
-    n = len(ki)
-    pad = (rng.integers(0, 120, n) // 6).astype(np.int64)
-    step = 8_000_000
-    if n > step:   # chunk: a single string Array caps at 2 GiB
-        chunks = []
-        # consume rng draws identically regardless of chunking: pad drawn above
-        for lo in range(0, n, step):
-            hi = min(lo + step, n)
-            sub = _make_text_chunk(ki[lo:hi], ti[lo:hi], ver[lo:hi],
-                                   pad[lo:hi], cfg, offset=lo)
-            chunks.extend(sub.chunks)
-        return pa.chunked_array(chunks)
-    return _make_text_chunk(ki, ti, ver, pad, cfg, offset=0)
+#: assembly-chunk row count (one chunk is the peak unit of payload memory;
+#: a single Arrow string Array also caps at 2 GiB)
+_ASSEMBLY_CHUNK = 4_000_000
 
 
-def _make_text_chunk(ki, ti, ver, pad, cfg: GenConfig, offset: int) -> pa.ChunkedArray:
-    import pyarrow.compute as pc
-
-    n = len(ki)
-    filler = pa.array(["lorem " * k for k in range(20)]).take(pa.array(pad))
-    prefix = pc.binary_join_element_wise(
-        "conv", pc.cast(pa.array(ki), pa.string()),
-        "-turn", pc.cast(pa.array(ti), pa.string()),
-        "-v", pc.cast(pa.array(ver), pa.string()), " ", "")
-    k = cfg.special_char_every
-    if k:
-        i = np.arange(offset, offset + n)
-        spec_idx = np.where(i % k == 0, (i // k) % len(SPECIAL_SNIPPETS),
-                            len(SPECIAL_SNIPPETS))
-        spec = pa.array(SPECIAL_SNIPPETS + [""]).take(pa.array(spec_idx))
-        joined = pc.binary_join_element_wise(prefix, filler, spec, "")
-    else:
-        joined = pc.binary_join_element_wise(prefix, filler, "")
-    return joined if isinstance(joined, pa.ChunkedArray) else pa.chunked_array([joined])
-
-
-def generate(cfg: GenConfig) -> GenResult:
+def _stream_build(cfg: GenConfig):
+    """Build the stream's integer/bool backbone + a chunk materializer.
+    Returns ``(meta, chunk_table)``: meta has ddl_scn/drop_scn/n_txn/rows;
+    ``chunk_table(lo)`` assembles rows [lo, lo+_ASSEMBLY_CHUNK) of the
+    globally (shard, scn, scn_idx)-sorted changelog, computing payload
+    values (text!) only for that slice."""
     rng = np.random.default_rng(cfg.seed)
 
     # ---- keys and per-key chains -----------------------------------------
@@ -357,22 +324,23 @@ def generate(cfg: GenConfig) -> GenResult:
             "x", pc.cast(pa.array(ev_txn), pa.string()), ""))]
         + [_as_array(pa.array(e["xid_arr"], pa.string())) for e in extras])
 
-    # payload values (deterministic functions of key + version; Arrow kernels)
-    text = _make_text(ki, ti, ver, cfg, rng)
-    role = _as_array(pa.array(ROLES).take(pa.array(ti % 4)))
+    # payload values are DETERMINISTIC functions of (key, version, global
+    # position), materialized lazily PER CHUNK in chunk_table below: the
+    # streamed segment writer (generate_segments) never holds the whole
+    # payload in memory — only this integer/bool backbone (~bytes/event).
+    # The one rng draw (text padding) happens HERE, at the same point of the
+    # rng stream as the prior eager implementation, keeping output identical.
+    pad = (rng.integers(0, 120, n) // 6).astype(np.int8)
+    role_idx = (ti % 4).astype(np.int8)
     tool_code = (ki * 31 + ti * 7 + ver * 13) % 10
-    tool = _as_array(pa.array([f"tool{k}" for k in range(5)] + [None],
-                              pa.string()).take(
-        pa.array(np.where(tool_code < 3, 5, tool_code % 5))))
+    tool_idx = np.where(tool_code < 3, 5, tool_code % 5).astype(np.int8)
     ev_ts = EPOCH_US + scn * 1_000_000
     post_ddl = (ev_cscn > ddl_scn) if ddl_scn > 0 else np.zeros(n, bool)
     # post-drop redo no longer carries the dropped column at all
     post_drop = (ev_cscn > drop_scn) if drop_scn > 0 else np.zeros(n, bool)
     meta_code = (ki * 17 + ti * 3 + ver * 5) % 4
     meta_populated = post_ddl & ~post_drop & (meta_code < 2)
-    tool_meta = _as_array(pa.array([f"meta{k}" for k in range(4)] + [None],
-                                   pa.string()).take(
-        pa.array(np.where(meta_populated, meta_code, 4))))
+    meta_idx = np.where(meta_populated, meta_code, 4).astype(np.int8)
 
     is_i = opc == "I"
     is_u = opc == "U"
@@ -390,12 +358,45 @@ def generate(cfg: GenConfig) -> GenResult:
         bit_meta = 1 << S.column_bit("tool_meta")
         upd_tool = is_u & ((ki + ti + ver) % 2 == 0)
         null_tool = upd_tool & ((ki * 3 + ver) % 5 == 0)
-        tool = _as_array(pc.if_else(pa.array(null_tool),
-                                    pa.nulls(n, pa.string()), tool))
+        tool_idx = np.where(null_tool, 5, tool_idx).astype(np.int8)
         m = np.where(is_u, bit_text | bit_ts, full_bits)
         m = np.where(upd_tool, m | bit_tool, m)
         m = np.where(is_u & post_ddl & meta_populated, m | bit_meta, m)
         mask = m.astype(np.int32)
+
+    _filler = pa.array(["lorem " * k for k in range(20)])
+    _tools = pa.array([f"tool{k}" for k in range(5)] + [None], pa.string())
+    _metas = pa.array([f"meta{k}" for k in range(4)] + [None], pa.string())
+    _roles = pa.array(ROLES)
+    _specs = pa.array(SPECIAL_SNIPPETS + [""])
+
+    def text_vals(safe: np.ndarray) -> pa.Array:
+        """Text at global DML positions ``safe`` — the per-chunk form of the
+        old eager ``_make_text`` (special-snippet index keys off the global
+        position, so any chunking yields identical values)."""
+        filler = _filler.take(pa.array(pad[safe].astype(np.int64)))
+        prefix = pc.binary_join_element_wise(
+            "conv", pc.cast(pa.array(ki[safe]), pa.string()),
+            "-turn", pc.cast(pa.array(ti[safe]), pa.string()),
+            "-v", pc.cast(pa.array(ver[safe]), pa.string()), " ", "")
+        k = cfg.special_char_every
+        if k:
+            spec_idx = np.where(safe % k == 0,
+                                (safe // k) % len(SPECIAL_SNIPPETS),
+                                len(SPECIAL_SNIPPETS))
+            spec = _specs.take(pa.array(spec_idx))
+            return _as_array(pc.binary_join_element_wise(
+                prefix, filler, spec, ""))
+        return _as_array(pc.binary_join_element_wise(prefix, filler, ""))
+
+    def role_vals(safe):
+        return _roles.take(pa.array(role_idx[safe].astype(np.int64)))
+
+    def tool_vals(safe):
+        return _tools.take(pa.array(tool_idx[safe].astype(np.int64)))
+
+    def meta_vals(safe):
+        return _metas.take(pa.array(meta_idx[safe].astype(np.int64)))
 
     # ---- control (B/C/R/DDL) rows, vectorized -----------------------------
     committed_xids = np.char.add("x", np.arange(n_txn).astype("U9")).astype(object)
@@ -475,11 +476,12 @@ def generate(cfg: GenConfig) -> GenResult:
     all_tbl = cat(tblc, np.full(nc, cfg.n_tables, np.int64))
 
     # ---- chunked assembly in redo-stream order ----------------------------
-    # Arrow caps a single (string/struct) Array at 2 GiB; at bench scales the
-    # text column alone exceeds that, so the sorted table is assembled in
-    # row chunks (numpy computes the global sort order; each chunk takes its
-    # slice of every source column and builds its own struct arrays).
-    import pyarrow.compute as pc
+    # Arrow caps a single (string/struct) Array at 2 GiB and the text column
+    # alone exceeds that at bench scales, so the sorted stream materializes
+    # in row chunks: numpy computes the global sort order once; chunk_table
+    # builds one chunk's payload values on demand (the value closures above)
+    # and its struct arrays. generate() concatenates the chunks (small
+    # scales); generate_segments() writes each chunk straight to parquet.
     names = [nm for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
     types = {nm: t for nm, t in S.payload_columns(S.MAX_SCHEMA_VERSION)}
     N = n + nc
@@ -494,43 +496,28 @@ def generate(cfg: GenConfig) -> GenResult:
     span = max(1, (int(scn_sorted.max()) - SCN0 + 1) // cfg.segments_per_shard + 1)
     seq_sorted = ((scn_sorted - SCN0).clip(min=0) // span).astype(np.int32)
 
-    # DML-only value sources (length n); control rows read as null.
-    # ChunkedArray.take concatenates chunks internally (32-bit offset
-    # overflow on >2 GiB strings) — normalize big string sources to one
-    # combined large_string Array (64-bit offsets) up front.
-    def _normalize(src):
-        if isinstance(src, pa.ChunkedArray):
-            if pa.types.is_string(src.type):
-                src = src.cast(pa.large_string())
-            return _as_array(src)
-        return src
-
-    text_n = _normalize(text)
-    role_n, tool_n, meta_n = _normalize(role), _normalize(tool), _normalize(tool_meta)
-
     def dml_value(src, sel, t):
-        """Gather rows `sel` (global indices) from a DML-length source."""
+        """Gather rows `sel` (global indices) from a DML-length source —
+        a numpy array, or a callable computing values at given positions."""
         in_dml = sel < n
         safe = np.where(in_dml, sel, 0)
-        if isinstance(src, np.ndarray):
+        if callable(src):
+            vals = _as_array(src(safe).cast(t))
+        else:
             vals = pa.array(src[safe]).cast(t)
-        else:  # pa.Array (normalized)
-            vals = _as_array(src.take(pa.array(safe)).cast(t))
         if in_dml.all():
             return vals
         return _as_array(pc.if_else(pa.array(in_dml), vals, pa.nulls(len(sel), t)))
 
-    CHUNK = 4_000_000
-    tables = []
-    for lo in range(0, N, CHUNK):
-        sel = order[lo:lo + CHUNK]
+    def chunk_table(lo: int) -> pa.Table:
+        sel = order[lo:lo + _ASSEMBLY_CHUNK]
         m = len(sel)
         kids = {
-            "role": dml_value(role_n, sel, pa.string()),
-            "text": dml_value(text_n, sel, pa.string()),
-            "tool": dml_value(tool_n, sel, pa.string()),
+            "role": dml_value(role_vals, sel, pa.string()),
+            "text": dml_value(text_vals, sel, pa.string()),
+            "tool": dml_value(tool_vals, sel, pa.string()),
             "ts": dml_value(ev_ts, sel, pa.timestamp("us")),
-            "tool_meta": dml_value(meta_n, sel, pa.string()),
+            "tool_meta": dml_value(meta_vals, sel, pa.string()),
         }
         if cfg.partial_images:
             fm = full_mask_arr[sel]
@@ -548,11 +535,11 @@ def generate(cfg: GenConfig) -> GenResult:
             [pa.nulls(m, types[nm]) for nm in names], names=names,
             mask=pa.array(~has_before[sel]))
         sel_pa = pa.array(sel)
-        tables.append(pa.table({
+        return pa.table({
             "table_name": _as_array(tbl_name_arr.take(pa.array(all_tbl[sel]))),
             "scn": pa.array(all_scn[sel], pa.int64()),
             "scn_idx": pa.array(all_idx[sel]).cast(pa.int32()),
-            "seq": pa.array(seq_sorted[lo:lo + CHUNK]),
+            "seq": pa.array(seq_sorted[lo:lo + _ASSEMBLY_CHUNK]),
             "shard": pa.array(all_shard[sel], pa.int16()),
             "xid": _as_array(all_xid.take(sel_pa)),
             "op": pa.array(all_op[sel], pa.string()),
@@ -574,11 +561,70 @@ def generate(cfg: GenConfig) -> GenResult:
                 pa.array(all_undo_idx[sel]).cast(pa.int32()),
                 pa.nulls(m, pa.int32()))),
             "ts": pa.array(all_ts[sel], pa.int64()).cast(pa.timestamp("us")),
-        }))
+        })
 
-    tbl = pa.concat_tables(tables)
-    return GenResult(table=tbl, ddl_scn=ddl_scn, n_committed_txns=n_txn,
-                     config=cfg, drop_scn=drop_scn)
+    meta = {"ddl_scn": ddl_scn, "drop_scn": drop_scn, "n_txn": n_txn,
+            "rows": N}
+    return meta, chunk_table
+
+
+def generate(cfg: GenConfig) -> GenResult:
+    """Materialize the whole changelog in RAM (tests / small scales; the
+    streamed twin for bench scales is :func:`generate_segments`)."""
+    meta, chunk_table = _stream_build(cfg)
+    tables = [chunk_table(lo)
+              for lo in range(0, meta["rows"], _ASSEMBLY_CHUNK)]
+    return GenResult(table=pa.concat_tables(tables), ddl_scn=meta["ddl_scn"],
+                     n_committed_txns=meta["n_txn"], config=cfg,
+                     drop_scn=meta["drop_scn"])
+
+
+def generate_segments(cfg: GenConfig, out_dir: str) -> dict:
+    """Streamed generate+write: chunks flow straight into per-(shard, seq)
+    parquet segment files through ParquetWriter appends, so peak driver
+    memory is ONE assembly chunk plus the integer backbone — not the whole
+    payload twice (the eager generate+write_segments path measured ~10 GB
+    RAM per 4 scale units and aborted at scale 32 / >83 GB; this path lifts
+    that test-tooling ceiling, the engine itself always streamed).
+
+    The global order is (shard, scn, scn_idx), so (shard, seq) runs are
+    contiguous across the chunk stream and one open writer at a time
+    suffices. Returns the stream meta dict (ddl_scn/drop_scn/n_txn/rows)."""
+    meta, chunk_table = _stream_build(cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    state = {"key": None, "writer": None, "tmp": None, "final": None}
+    paths: list[str] = []
+
+    def close_current():
+        if state["writer"] is not None:
+            state["writer"].close()
+            os.replace(state["tmp"], state["final"])
+            paths.append(state["final"])
+            state["writer"] = None
+
+    for lo in range(0, meta["rows"], _ASSEMBLY_CHUNK):
+        t = chunk_table(lo)
+        sh = t["shard"].to_numpy()
+        sq = t["seq"].to_numpy()
+        combo = sh.astype(np.int64) * (1 << 32) + sq
+        bounds = np.flatnonzero(np.diff(combo)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(combo)]])
+        for a, b in zip(starts, ends):
+            key = (int(sh[a]), int(sq[a]))
+            if key != state["key"]:
+                close_current()
+                state["key"] = key
+                state["final"] = os.path.join(
+                    out_dir, f"shard{key[0]:02d}-seg{key[1]:04d}.parquet")
+                state["tmp"] = state["final"] + ".tmp"
+                state["writer"] = pq.ParquetWriter(state["tmp"], t.schema)
+            # modest row groups → finer read splits / row-group pruning
+            state["writer"].write_table(t.slice(int(a), int(b - a)),
+                                        row_group_size=131_072)
+    close_current()
+    write_control_sidecars(paths)
+    return meta
 
 
 # ---------------------------------------------------------------------------
@@ -653,12 +699,17 @@ def ensure_changelog(cfg: GenConfig, root: str = "/tmp/olrx_data") -> str:
         import glob as _g
         write_control_sidecars(sorted(_g.glob(os.path.join(d, "*.parquet"))))
         return d
-    res = generate(cfg)
     os.makedirs(d, exist_ok=True)
-    write_segments(res, d)
-    meta = {"config": asdict(cfg), "ddl_scn": res.ddl_scn,
-            "drop_scn": res.drop_scn,
-            "n_committed_txns": res.n_committed_txns, "rows": res.table.num_rows}
+    # clear stale partials from an interrupted earlier run (the marker is
+    # the completeness gate; files alone prove nothing)
+    import glob as _g
+    for f in _g.glob(os.path.join(d, "*.parquet")) + \
+            _g.glob(os.path.join(d, "*.tmp")):
+        os.remove(f)
+    m = generate_segments(cfg, d)
+    meta = {"config": asdict(cfg), "ddl_scn": m["ddl_scn"],
+            "drop_scn": m["drop_scn"],
+            "n_committed_txns": m["n_txn"], "rows": m["rows"]}
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)

@@ -55,3 +55,28 @@ def test_partial_mode_masks():
     assert (masks > 0).all()
     # some updates carry fewer columns than the full mask
     assert (masks != masks.max()).any()
+
+
+def test_streamed_segments_match_eager_writer(tmp_path):
+    """generate_segments (the memory-bounded streamed writer bench scales
+    use) must produce the same file set, row-for-row, as
+    write_segments(generate()) — two paths, identical bytes of content."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from olrx.gen import generate_segments, write_segments
+
+    cfg = GenConfig(scale=0.001, partial_images=True, n_tables=2)
+    res = generate(cfg)
+    a, b = str(tmp_path / "eager"), str(tmp_path / "streamed")
+    write_segments(res, a)
+    meta = generate_segments(cfg, b)
+    fa = sorted(os.path.basename(p) for p in glob.glob(a + "/*.parquet"))
+    fb = sorted(os.path.basename(p) for p in glob.glob(b + "/*.parquet"))
+    assert fa == fb and fa
+    for f in fa:
+        assert pq.read_table(os.path.join(a, f)).equals(
+            pq.read_table(os.path.join(b, f))), f
+    assert meta["rows"] == res.table.num_rows
