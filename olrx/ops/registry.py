@@ -9,7 +9,23 @@ from __future__ import annotations
 from olrx.ops import (cluster, corpus, curate, dedup, events, multimodal,
                       relational, sampling, similarity, text)
 
+#: ORDER MATTERS: the driver's correctness sweep walks this dict in
+#: insertion order under a runtime budget — in r3 it covered the first 50
+#: of 58 and the relational/events tail never got a row. The families that
+#: historically fell off the end (relational joins, stream aggregations)
+#: now lead; the heavily-swept dedup/ANN block sits last.
 OPS_QUERIES = {
+    # relational: as-of + mixed-shape enrichment joins (never driver-swept
+    # before r4 — keep first)
+    "events_asof_join": relational.q_events_asof_join,
+    "orders_enrich": relational.q_orders_enrich,
+    # stream-shaped aggregations
+    "events_sliding_window": events.q_events_sliding_window,
+    "events_value_quantiles": events.q_events_value_quantiles,
+    "events_hourly": events.q_events_hourly,
+    "events_sessions": events.q_events_sessions,
+    "events_topk_users": events.q_events_topk_users,
+    "events_condition_filter": events.q_events_condition_filter,
     # text analysis
     "text_stats": text.q_text_stats,
     "text_quality": text.q_text_quality,
@@ -51,16 +67,6 @@ OPS_QUERIES = {
     "curation_pipeline": curate.q_curation_pipeline,
     # embedding clustering
     "kmeans_embed": cluster.q_kmeans_embed,
-    # relational: as-of + mixed-shape enrichment joins
-    "events_asof_join": relational.q_events_asof_join,
-    "orders_enrich": relational.q_orders_enrich,
-    # stream-shaped aggregations
-    "events_hourly": events.q_events_hourly,
-    "events_sliding_window": events.q_events_sliding_window,
-    "events_value_quantiles": events.q_events_value_quantiles,
-    "events_sessions": events.q_events_sessions,
-    "events_topk_users": events.q_events_topk_users,
-    "events_condition_filter": events.q_events_condition_filter,
 }
 
 OPS_ORACLES = {
