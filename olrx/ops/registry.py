@@ -7,7 +7,7 @@ OPS_ORACLES: name → callable(sf_dir) → DuckDB SQL string (omit = rows-only)
 from __future__ import annotations
 
 from olrx.ops import (cluster, corpus, curate, dedup, events, multimodal,
-                      relational, sampling, similarity, text)
+                      redact, relational, sampling, similarity, text)
 
 #: ORDER MATTERS: the driver's correctness sweep walks this dict in
 #: insertion order under a runtime budget — in r3 it covered the first 50
@@ -15,6 +15,8 @@ from olrx.ops import (cluster, corpus, curate, dedup, events, multimodal,
 #: historically fell off the end (relational joins, stream aggregations)
 #: now lead; the heavily-swept dedup/ANN block sits last.
 OPS_QUERIES = {
+    # new in r4 (never swept) — keep first
+    "text_redact": redact.q_text_redact,
     # relational: as-of + mixed-shape enrichment joins (never driver-swept
     # before r4 — keep first)
     "events_asof_join": relational.q_events_asof_join,
@@ -70,6 +72,7 @@ OPS_QUERIES = {
 }
 
 OPS_ORACLES = {
+    "text_redact": redact.sql_text_redact,
     "text_stats": text.sql_text_stats,
     "lang_id": text.sql_lang_id,
     "doc_fingerprints": text.sql_fingerprints,

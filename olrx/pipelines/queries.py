@@ -881,3 +881,15 @@ def sql_cdc_stream_ingest(sf_dir: str) -> str:
 
 CDC_QUERIES["cdc_stream_ingest"] = q_cdc_stream_ingest
 CDC_ORACLES["cdc_stream_ingest"] = sql_cdc_stream_ingest
+
+
+# ---------------------------------------------------------------------------
+# cdc_time_travel — snapshot retention + SCN as-of read (§2.7
+# keep-checkpoints / Checkpoint.cpp retention, re-expressed as a lake op)
+# ---------------------------------------------------------------------------
+
+from olrx.pipelines.timetravel import (q_cdc_time_travel,  # noqa: E402
+                                       sql_cdc_time_travel)
+
+CDC_QUERIES["cdc_time_travel"] = q_cdc_time_travel
+CDC_ORACLES["cdc_time_travel"] = sql_cdc_time_travel

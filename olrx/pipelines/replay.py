@@ -105,6 +105,19 @@ class ReplayConfig:
     #: closed log set — documented deviation.
     start_time_rel_us: int | None = None
     start_seq: int | None = None
+    #: stop position: replay only transactions with commit SCN ≤ this (the
+    #: reference's shutdown-at-position cut; same commit-granularity boundary
+    #: as the checkpoint watermarks). Implemented as a control-side cap
+    #: (ControlInfo.capped): later txns decode as uncommitted and drop, and
+    #: the event read prunes row groups with scn > end (an event of a txn
+    #: committed ≤ end always has scn ≤ end). None = run to end of input.
+    end_commit_scn: int | None = None
+    #: lake snapshots retained per partition (the reference's
+    #: keep-checkpoints, /root/reference/documentation/user-manual/
+    #: 8.checkpointing.adoc:15-24): >1 enables SCN time travel via
+    #: pipelines.timetravel.read_lake_asof over the retained watermarks.
+    #: Retention costs disk only — never memory or extra write traffic.
+    snapshot_keep: int = 1
     #: big-transaction guard (reference transaction-max-mb drop,
     #: /root/reference/src/parser/Transaction.cpp:519-538 / Parser.cpp:717-726):
     #: transactions with more than this many DML events in the stream are
@@ -253,6 +266,11 @@ def _decoded_events(paths: list[str], cfg: ReplayConfig, control: ControlInfo,
     flt = None
     if floor >= 0:
         flt = pc.field("scn") > floor - max(0, control.max_txn_span)
+    if cfg.end_commit_scn is not None:
+        # every event of a txn committed ≤ end has scn ≤ end (events precede
+        # their commit record) — row groups above the cut never contribute
+        ceil_flt = pc.field("scn") <= cfg.end_commit_scn
+        flt = ceil_flt if flt is None else flt & ceil_flt
     cols = list(EVENT_COLUMNS)
     if cfg.multi_table or cfg.table_regex:
         cols = ["table_name"] + cols
@@ -274,6 +292,8 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
     """Replay to final transcript rows (no sink)."""
     cfg = cfg or ReplayConfig()
     control = load_control(paths)
+    if cfg.end_commit_scn is not None:
+        control = control.capped(cfg.end_commit_scn)
     sv = control.schema_version
     dropped = control.dropped_columns
     hot = (detect_hot_keys(paths, frac_threshold=cfg.hot_frac_threshold)
@@ -299,7 +319,8 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
                       max_txn_span: int = 0,
                       counters: "dict[str, int] | None" = None,
                       output_codec: str = "zstd",
-                      dropped: tuple = ()) -> pa.Table:
+                      dropped: tuple = (),
+                      snapshot_keep: int = 1) -> pa.Table:
     """Lake-mode per-partition apply: merge with base state, write parquet
     atomically, then publish the manifest. Idempotent under task retries:
     a retry re-reads the (old) manifest, recomputes the same bytes and
@@ -356,6 +377,10 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
                    compression_level=1 if output_codec == "zstd" else None)
     os.replace(tmp, fpath)
 
+    first_wm = target_watermark
+    if prev is not None:
+        first_wm = (prev.first_watermark if prev.first_watermark >= 0
+                    else prev.watermark_commit_scn)
     m = MF.PartitionManifest(
         partition=part,
         watermark_commit_scn=target_watermark,
@@ -365,16 +390,23 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
         rows=final.num_rows,
         counters=counters,
         max_txn_span=max_txn_span,
+        first_watermark=first_wm,
     )
     MF.write_manifest(mdir, m)
-    # GC superseded snapshots (best-effort; manifest no longer references them)
-    if prev is not None:
-        for rel in prev.files:
-            if rel not in m.files:
-                try:
-                    os.remove(os.path.join(out_dir, rel))
-                except OSError:
-                    pass
+    # GC superseded snapshots, keeping the newest `snapshot_keep` per
+    # partition (reference keep-checkpoints; >1 enables SCN time travel).
+    # Best-effort and idempotent under task retries: a retry recomputes the
+    # same file set and the same survivors.
+    import re as _re
+    snaps = sorted(((int(g.group(1)), f)
+                    for f in os.listdir(part_dir)
+                    if (g := _re.match(r"data-w(\d+)\.parquet$", f))),
+                   reverse=True)
+    for _, f in snaps[max(1, snapshot_keep):]:
+        try:
+            os.remove(os.path.join(part_dir, f))
+        except OSError:
+            pass
     return _stats_row(part, final.num_rows, target_watermark, False, counters)
 
 
@@ -446,6 +478,8 @@ def replay_to_lake(paths: list[str], out_dir: str,
     import time as _time
     _t0 = _time.perf_counter()
     control = load_control(paths)
+    if cfg.end_commit_scn is not None:
+        control = control.capped(cfg.end_commit_scn)
     LAST_TIMINGS["control"] = round(_time.perf_counter() - _t0, 3)
     control.max_txn_span = max(control.max_txn_span, prev_span)
     prev_ms = MF.read_all(mdir) if resume else {}
@@ -480,7 +514,8 @@ def replay_to_lake(paths: list[str], out_dir: str,
             events, cfg.resolved_num_appliers(nbytes), sv,
             commit=dict(out_dir=out_dir, safe_watermark=safe_wm,
                         max_commit_scn=max_commit, max_txn_span=span,
-                        output_codec=cfg.output_codec),
+                        output_codec=cfg.output_codec,
+                        snapshot_keep=cfg.snapshot_keep),
             compact_threshold=cfg.applier_compact_threshold,
             multi_table=cfg.multi_table, part_watermarks=wms,
             dropped=dropped)
@@ -489,7 +524,8 @@ def replay_to_lake(paths: list[str], out_dir: str,
     stats_ds = events.groupby("part").map_groups(
         lambda g: _apply_and_commit(g, out_dir, sv, safe_wm, max_commit, span,
                                     output_codec=cfg.output_codec,
-                                    dropped=dropped),
+                                    dropped=dropped,
+                                    snapshot_keep=cfg.snapshot_keep),
         batch_format="pyarrow")
     stats_df = stats_ds.to_pandas()
     if stats_df.empty:  # nothing new anywhere (all dropped at the floor)

@@ -1,0 +1,158 @@
+"""SCN time travel over the lake's retained checkpoint snapshots.
+
+Every checkpoint writes a full per-partition snapshot named
+``data-w{watermark}.parquet`` (``replay._apply_and_commit``); with
+``ReplayConfig.snapshot_keep > 1`` the GC retains the newest K snapshots
+per partition instead of deleting the superseded one — the lake-sink
+analog of the reference's checkpoint retention (``keep-checkpoints``,
+/root/reference/documentation/user-manual/8.checkpointing.adoc:15-24 and
+Checkpoint.cpp trimming old checkpoint files). ``read_lake_asof(scn)``
+then reconstructs the exact transaction-consistent table state at any
+retained commit SCN: per partition, the newest snapshot with
+watermark ≤ scn. Because watermarks are commit SCNs and transactions
+apply atomically, every retained snapshot is a consistent cut (the same
+invariant the reference maintains by checkpointing only at LWN
+boundaries).
+
+Scale shape: the as-of read is a plain partitioned ``read_parquet`` over
+one file per partition — no replay, no shuffle; retention cost is disk
+only (K× snapshot bytes), never memory or extra write traffic.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import ray.data as rd
+
+_SNAP_RE = re.compile(r"data-w(\d+)\.parquet$")
+
+
+def snapshot_watermarks(out_dir: str) -> dict[int, list[int]]:
+    """partition → retained snapshot watermarks (ascending)."""
+    out: dict[int, list[int]] = {}
+    for pdir in sorted(glob.glob(os.path.join(out_dir, "part-*"))):
+        part = int(os.path.basename(pdir).split("-")[1])
+        wms = sorted(int(m.group(1)) for f in os.listdir(pdir)
+                     if (m := _SNAP_RE.search(f)))
+        if wms:
+            out[part] = wms
+    return out
+
+
+def snapshot_files_asof(out_dir: str, commit_scn: int) -> list[str]:
+    """Per partition, the newest retained snapshot with watermark ≤ scn.
+
+    A partition whose FIRST-ever checkpoint came after ``commit_scn``
+    (manifest ``first_watermark``) had no committed state then — it simply
+    contributes no file. A partition whose history once reached back but
+    was pruned by ``snapshot_keep`` raises ``ValueError`` — a silent
+    newer-than-asked answer would be wrong."""
+    from olrx.state import manifest as MF
+
+    ms = MF.read_all(os.path.join(out_dir, "_manifest"))
+    files: list[str] = []
+    snaps = snapshot_watermarks(out_dir)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots under {out_dir}")
+    for part, wms in snaps.items():
+        eligible = [w for w in wms if w <= commit_scn]
+        if eligible:
+            files.append(os.path.join(out_dir, f"part-{part:05d}",
+                                      f"data-w{eligible[-1]}.parquet"))
+            continue
+        m = ms.get(part)
+        first = m.first_watermark if m is not None else wms[0]
+        if first > commit_scn:
+            continue  # partition born after the as-of point: empty then
+        raise ValueError(
+            f"partition {part}: snapshot history at commit SCN {commit_scn} "
+            f"was pruned (oldest retained: {wms[0]}, first checkpoint: "
+            f"{first}); raise ReplayConfig.snapshot_keep")
+    return files
+
+
+def read_lake_asof(out_dir: str, commit_scn: int) -> rd.Dataset:
+    """Table state as of ``commit_scn`` — a partitioned parquet read of the
+    chosen snapshots, streaming like any other Dataset source."""
+    files = snapshot_files_asof(out_dir, commit_scn)
+    if not files:  # every partition born after the as-of point
+        from olrx import schema as S
+
+        return rd.from_arrow(S.transcripts_schema(0).empty_table())
+    return rd.read_parquet(files)
+
+
+# ---------------------------------------------------------------------------
+# cdc_time_travel — checkpoint → catch-up → as-of read, oracle-checked
+# ---------------------------------------------------------------------------
+
+def _split_scn(paths: list[str]) -> int:
+    """Deterministic mid-stream commit SCN (median of all commit SCNs) —
+    the SAME helper feeds the Ray query and the SQL-oracle generator, so
+    both sides cut at an identical literal."""
+    import numpy as np
+
+    from olrx.stages.decode import load_control
+
+    scns = load_control(paths).commit_map["commit_scn"].to_numpy(
+        zero_copy_only=False)
+    k = len(scns) // 2
+    return int(np.partition(scns, k)[k])
+
+
+def q_cdc_time_travel(sf_dir: str) -> rd.Dataset:
+    """Replay up to the split SCN (the ``end_commit_scn`` stop position),
+    resume-replay the rest with ``snapshot_keep=4``, then time-travel back:
+    ``read_lake_asof(split)`` must equal the replay of events committed at
+    or before the split — which is exactly what the SQL oracle computes.
+    Exercises retention + as-of read + the stop position + incremental
+    resume in one verified pipeline."""
+    from olrx.gen import GenConfig, ensure_changelog, scale_for_sf_dir
+    from olrx.pipelines.queries import _replay_cfg, changelog_paths_for
+    from olrx.pipelines.replay import replay_to_lake
+
+    paths = changelog_paths_for(sf_dir)
+    split = _split_scn(paths)
+    scale = scale_for_sf_dir(sf_dir)
+    lake = os.path.join(
+        os.path.dirname(ensure_changelog(GenConfig(scale=scale))),
+        f"tt-lake-{scale}")
+    import dataclasses
+    cfg1 = dataclasses.replace(_replay_cfg(), end_commit_scn=split,
+                               snapshot_keep=4)
+    cfg2 = dataclasses.replace(_replay_cfg(), snapshot_keep=4)
+    replay_to_lake(paths, lake, cfg1, resume=False)
+    replay_to_lake(paths, lake, cfg2, resume=True)
+    return read_lake_asof(lake, split)
+
+
+def sql_cdc_time_travel(sf_dir: str) -> str:
+    from olrx.pipelines.queries import _glob_sql, changelog_paths_for
+
+    g = _glob_sql(sf_dir)
+    split = _split_scn(changelog_paths_for(sf_dir))
+    return f"""
+WITH commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}')
+  WHERE op = 'C' AND scn <= {split}
+), ev AS (
+  SELECT e.conv_id, e.turn_idx, e.op, e.scn, e.scn_idx, c.commit_scn,
+         e.after.role AS role, e.after.text AS text, e.after.tool AS tool,
+         e.after.ts AS ts, e.after.tool_meta AS tool_meta
+  FROM read_parquet('{g}') e
+  JOIN commits c USING (xid)
+  WHERE e.op IN ('I','U','D')
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                    WHERE p.op = 'PR' AND p.xid = e.xid
+                      AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY commit_scn DESC, scn DESC, scn_idx DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts, tool_meta
+FROM last WHERE rn = 1 AND op <> 'D'
+"""

@@ -77,10 +77,44 @@ class ControlInfo:
     #: /root/reference/src/builder/SystemTransaction.cpp:640). Applied after
     #: adds; the final lake schema simply lacks these columns.
     dropped_columns: tuple = ()
+    #: commit SCNs aligned 1:1 with ``dropped_columns`` — lets a stop
+    #: position (``capped``) un-apply drops committed after the cut
+    drop_scns: tuple = ()
 
     @property
     def schema_version(self) -> int:
         return min(len(self.ddl_scns), S.MAX_SCHEMA_VERSION)
+
+    def capped(self, end_commit_scn: int) -> "ControlInfo":
+        """Stop-position view (``ReplayConfig.end_commit_scn``): transactions
+        committed after the cut vanish from the commit map, so their events
+        decode as uncommitted and drop — the same transaction-consistent
+        boundary the reference's shutdown/checkpoint positions use (commit
+        granularity; /root/reference/documentation/user-manual/
+        8.checkpointing.adoc:15-24). DDLs (adds AND drops) committed after
+        the cut are likewise un-applied."""
+        e = int(end_commit_scn)
+        cm = self.commit_map.filter(pc.less_equal(self.commit_map["commit_scn"], e))
+        kept_drops = [(s, c) for s, c in zip(self.drop_scns, self.dropped_columns)
+                      if s <= e]
+        info = ControlInfo(
+            commit_map=cm,
+            ddl_scns=[s for s in self.ddl_scns if s <= e],
+            max_commit_scn=(int(pc.max(cm["commit_scn"]).as_py())
+                            if cm.num_rows else -1),
+            shard_watermarks={s: min(w, e)
+                              for s, w in self.shard_watermarks.items()},
+            max_txn_span=self.max_txn_span,
+            pr_sorted=self.pr_sorted,
+            dropped_columns=tuple(c for _, c in kept_drops),
+            drop_scns=tuple(s for s, _ in kept_drops),
+        )
+        if self.lookup_arrays is not None:
+            h, scn = self.lookup_arrays
+            keep = scn <= e
+            info.lookup_arrays = (np.ascontiguousarray(h[keep]),
+                                  np.ascontiguousarray(scn[keep]))
+        return info
 
     #: precomputed by load_control (hashing millions of xids is seconds of
     #: serial driver time — do it once, not per consumer)
@@ -136,7 +170,7 @@ def _sidecar_paths(paths: list[str]) -> list[str] | None:
 
 
 #: bump when ControlInfo derivation changes — invalidates summary caches
-_CTL_SUMMARY_VERSION = 3
+_CTL_SUMMARY_VERSION = 4
 
 #: checkpoints kept per _ctl directory — a growing tail directory writes one
 #: summary per file-set digest; older ones are pruned on each write, the
@@ -173,6 +207,7 @@ def _save_control_summary(cp: str, info: ControlInfo) -> None:
         "v": _CTL_SUMMARY_VERSION,
         "ddl_scns": [int(x) for x in info.ddl_scns],
         "dropped_columns": list(info.dropped_columns),
+        "drop_scns": [int(x) for x in info.drop_scns],
         "max_commit_scn": int(info.max_commit_scn),
         "shard_watermarks": {str(k): int(v)
                              for k, v in info.shard_watermarks.items()},
@@ -205,6 +240,7 @@ def _load_control_summary(cp: str) -> "ControlInfo | None":
         commit_map=commit_map,
         ddl_scns=[int(x) for x in head["ddl_scns"]],
         dropped_columns=tuple(head.get("dropped_columns", [])),
+        drop_scns=tuple(int(x) for x in head.get("drop_scns", [])),
         max_commit_scn=int(head["max_commit_scn"]),
         shard_watermarks={int(k): int(v)
                           for k, v in head["shard_watermarks"].items()},
@@ -338,6 +374,7 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
     ddls = ctl.filter(pc.equal(ctl["op"], "DDL"))
     ddl_scns: list[int] = []
     dropped_columns: list[str] = []
+    drop_scns: list[int] = []
     if ddls.num_rows and commit_map.num_rows:
         import json as _json
         d_h = ddls["xid_h"].to_numpy(zero_copy_only=False)
@@ -353,8 +390,10 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
             except ValueError:
                 p = {}
             if p.get("drop_columns"):
-                dropped_columns.extend(c for c in p["drop_columns"]
-                                       if c not in dropped_columns)
+                for c in p["drop_columns"]:
+                    if c not in dropped_columns:
+                        dropped_columns.append(c)
+                        drop_scns.append(scn_i)
             else:
                 ddl_scns.append(scn_i)
     # partial-rollback targets: (xid, undo_scn, undo_scn_idx) of PR rows,
@@ -376,7 +415,8 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
     info = ControlInfo(commit_map=commit_map, ddl_scns=ddl_scns,
                        max_commit_scn=max_commit, shard_watermarks=shard_wm,
                        max_txn_span=max_txn_span, pr_sorted=pr_sorted,
-                       dropped_columns=tuple(dropped_columns))
+                       dropped_columns=tuple(dropped_columns),
+                       drop_scns=tuple(drop_scns))
     info.lookup_arrays = lookup
     return info
 

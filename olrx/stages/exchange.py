@@ -360,7 +360,8 @@ class PartitionApplier:
 
     def finalize_commit(self, out_dir: str, safe_watermark: int,
                         max_commit_scn: int, max_txn_span: int,
-                        output_codec: str = "zstd") -> pa.Table:
+                        output_codec: str = "zstd",
+                        snapshot_keep: int = 1) -> pa.Table:
         """Merge-apply + write parquet + manifests for owned partitions."""
         from olrx.pipelines.replay import _apply_and_commit
 
@@ -390,7 +391,8 @@ class PartitionApplier:
                     all_events.take(pa.array(sel)), out_dir,
                     self.schema_version, safe_watermark, max_commit_scn,
                     max_txn_span, counters=counters,
-                    output_codec=output_codec, dropped=self.dropped))
+                    output_codec=output_codec, dropped=self.dropped,
+                    snapshot_keep=snapshot_keep))
         if not stats:
             from olrx.pipelines.replay import _stats_row
             return _stats_row(-1, 0, safe_watermark, True, {})[:0]

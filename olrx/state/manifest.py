@@ -44,6 +44,11 @@ class PartitionManifest:
     #: max observed (commit_scn - begin_scn): the scan-pruning bound for
     #: incremental re-reads (events of unconfirmed txns have scn > W - span)
     max_txn_span: int = 0
+    #: watermark of this partition's FIRST-ever checkpoint — time travel
+    #: uses it to distinguish "partition born after the as-of point"
+    #: (legitimately empty) from "history pruned by snapshot_keep" (error).
+    #: -1 on manifests written before the field existed.
+    first_watermark: int = -1
     updated_unix: float = 0.0
 
     def path(self, manifest_dir: str) -> str:
