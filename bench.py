@@ -179,6 +179,11 @@ def run_scaling() -> dict:
                   for p in pairs)
     med_eff = effs[len(effs) // 2] if reps % 2 else \
         (effs[reps // 2 - 1] + effs[reps // 2]) / 2
+    iqr = None
+    if len(effs) >= 4:
+        import statistics
+        q1, _, q3 = statistics.quantiles(effs, n=4)
+        iqr = round(q3 - q1, 3)
     r_lo = min((p[0] for p in pairs), key=lambda r: r["value"])
     r_hi = min((p[1] for p in pairs), key=lambda r: r["value"])
     return {
@@ -191,6 +196,7 @@ def run_scaling() -> dict:
         "events_per_sec_lo": r_lo["events_per_sec"],
         "events_per_sec_hi": r_hi["events_per_sec"],
         "pair_efficiencies": [round(e, 3) for e in effs],
+        "pair_iqr": iqr,
         "pair_walls": [[p[0]["value"], p[1]["value"]] for p in pairs],
         # every run's phase breakdown — slow-mode runs (this host shows a
         # rare ~2× wall mode) are diagnosable after the fact
