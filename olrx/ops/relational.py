@@ -136,9 +136,10 @@ def q_orders_enrich(sf_dir: str) -> rd.Dataset:
             keys, t["c_nationkey"].to_numpy(zero_copy_only=False))]
         import pandas as pd
         # exact integer cents: float sums of 1e8-magnitude revenue differ in
-        # the last bits by summation order, flipping any rounded decimal
-        cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
-                        * 100.0).astype(np.int64)
+        # the last bits by summation order, flipping any rounded decimal;
+        # to_cents rounds half away from zero, matching the oracle's round()
+        from olrx.ops.events import to_cents
+        cents = to_cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
         df = pd.DataFrame({
             "r_name": r_name,
             "c_mktsegment": t["c_mktsegment"].to_numpy(zero_copy_only=False),

@@ -158,8 +158,11 @@ class TailSession:
             raise ValueError("no input segments matched the job source")
         res = replay_to_lake(paths, self.job["target"]["uri"], self.cfg,
                              resume=True)
-        from olrx.pipelines.replay import LAST_TIMINGS
-        self.metrics.record_iteration(res, dict(LAST_TIMINGS), self.reloads)
+        # per-result timings, not the module-global LAST_TIMINGS: two
+        # concurrent replays in one process would cross-attribute the global,
+        # and a failed replay would leave stale timings for the next
+        # iteration (ADVICE r4 #4)
+        self.metrics.record_iteration(res, dict(res.timings), self.reloads)
         try:
             self.metrics.write_json(self.job["target"]["uri"])
         except OSError:

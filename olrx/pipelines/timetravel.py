@@ -45,11 +45,15 @@ def snapshot_watermarks(out_dir: str) -> dict[int, list[int]]:
 def snapshot_files_asof(out_dir: str, commit_scn: int) -> list[str]:
     """Per partition, the newest retained snapshot with watermark ≤ scn.
 
-    A partition whose FIRST-ever checkpoint came after ``commit_scn``
-    (manifest ``first_watermark``) had no committed state then — it simply
-    contributes no file. A partition whose history once reached back but
-    was pruned by ``snapshot_keep`` raises ``ValueError`` — a silent
-    newer-than-asked answer would be wrong."""
+    A partition that PROVABLY had no committed events at ``commit_scn``
+    (manifest ``first_data_scn`` — the min commit SCN ever applied — is
+    above it) was empty then and simply contributes no file. Anything
+    else without an eligible snapshot raises ``ValueError``: committed
+    state existed (or can't be ruled out — pre-field manifests record no
+    data birth) but isn't retained at that SCN, and a silent empty or
+    newer-than-asked answer would be wrong (ADVICE r4 #1: a lake built by
+    one full replay checkpoints only at the end — its ``first_watermark``
+    says nothing about when data was born)."""
     from olrx.state import manifest as MF
 
     ms = MF.read_all(os.path.join(out_dir, "_manifest"))
@@ -64,13 +68,14 @@ def snapshot_files_asof(out_dir: str, commit_scn: int) -> list[str]:
                                       f"data-w{eligible[-1]}.parquet"))
             continue
         m = ms.get(part)
-        first = m.first_watermark if m is not None else wms[0]
-        if first > commit_scn:
-            continue  # partition born after the as-of point: empty then
+        birth = m.first_data_scn if m is not None else -1
+        if birth >= 0 and birth > commit_scn:
+            continue  # partition provably had no committed events then
         raise ValueError(
             f"partition {part}: snapshot history at commit SCN {commit_scn} "
-            f"was pruned (oldest retained: {wms[0]}, first checkpoint: "
-            f"{first}); raise ReplayConfig.snapshot_keep")
+            f"is pruned or was never checkpointed (oldest retained: "
+            f"{wms[0]}, data birth: {birth if birth >= 0 else 'unknown'}); "
+            "raise ReplayConfig.snapshot_keep or checkpoint earlier")
     return files
 
 
@@ -117,9 +122,10 @@ def q_cdc_time_travel(sf_dir: str) -> rd.Dataset:
     paths = changelog_paths_for(sf_dir)
     split = _split_scn(paths)
     scale = scale_for_sf_dir(sf_dir)
-    lake = os.path.join(
-        os.path.dirname(ensure_changelog(GenConfig(scale=scale))),
-        f"tt-lake-{scale}")
+    # the lake lives INSIDE the gen-<digest> dir, so it is keyed by the full
+    # generator config/code digest: a regenerated changelog (new digest) gets
+    # a fresh lake rather than resuming stale state (ADVICE r4 #2)
+    lake = os.path.join(ensure_changelog(GenConfig(scale=scale)), "tt-lake")
     import dataclasses
     cfg1 = dataclasses.replace(_replay_cfg(), end_commit_scn=split,
                                snapshot_keep=4)

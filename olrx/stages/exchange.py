@@ -89,11 +89,15 @@ def _heap_copy(t: pa.Table) -> pa.Table:
     return pa.ipc.open_stream(sink.getvalue()).read_all()
 
 
-def _op_counts(t: pa.Table, wm_arr: "np.ndarray | None" = None) -> np.ndarray:
-    """Per-shard lineage counts: (2, k) array of (part*4 + op_code, count).
-    Accumulated at RECEIVE time (before any fold), so the counters track the
-    event stream exactly — the reference dml_ops metrics
-    (/root/reference/src/common/metrics/Metrics.h).
+def _op_counts(t: pa.Table, wm_arr: "np.ndarray | None" = None
+               ) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-shard lineage: ``(counts, mins)`` where counts is a (2, k) array
+    of (part*4 + op_code, count) and mins is a (2, m) array of
+    (part, min commit_scn). Both accumulated at RECEIVE time (before any
+    fold), so they track the event stream exactly — the reference dml_ops
+    metrics (/root/reference/src/common/metrics/Metrics.h); the min feeds
+    the manifest's ``first_data_scn`` (data birth for SCN time travel — a
+    fold keeps only winners, whose min over-states birth).
 
     ``wm_arr`` (per-partition confirmed commit-SCN watermarks, resume runs):
     rows at or below their partition's watermark are excluded, so the counts
@@ -101,19 +105,24 @@ def _op_counts(t: pa.Table, wm_arr: "np.ndarray | None" = None) -> np.ndarray:
     actually applies — stream-exact on resume, not winner-count (r2 advisory)."""
     part = t["part"].to_numpy(zero_copy_only=False).astype(np.int64)
     op = t["op_code"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cscn = t["commit_scn"].to_numpy(zero_copy_only=False)
     if wm_arr is not None:
-        cscn = t["commit_scn"].to_numpy(zero_copy_only=False)
         keep = cscn > wm_arr[part]
         if not keep.all():
-            part, op = part[keep], op[keep]
+            part, op, cscn = part[keep], op[keep], cscn[keep]
     if len(part) == 0:
-        return np.zeros((2, 0), np.int64)
+        z = np.zeros((2, 0), np.int64)
+        return z, z
     key = part * 4 + op
     # bincount, not np.unique: O(n) with no sort — this runs on the actor's
     # message path for every shard
     cnt = np.bincount(key)
     uniq = np.flatnonzero(cnt)
-    return np.stack([uniq, cnt[uniq]])
+    imax = np.iinfo(np.int64).max
+    mins = np.full(int(part.max()) + 1, imax, np.int64)
+    np.minimum.at(mins, part, cscn)
+    pu = np.flatnonzero(mins != imax)
+    return np.stack([uniq, cnt[uniq]]), np.stack([pu, mins[pu]])
 
 
 def _merge_counts(parts: list[np.ndarray]) -> np.ndarray:
@@ -122,6 +131,16 @@ def _merge_counts(parts: list[np.ndarray]) -> np.ndarray:
     cnt = np.zeros(len(uniq), np.int64)
     np.add.at(cnt, inv, merged[1])
     return np.stack([uniq, cnt])
+
+
+def _merge_mins(parts: list[np.ndarray]) -> np.ndarray:
+    merged = np.concatenate(parts, axis=1)
+    if merged.shape[1] == 0:
+        return merged
+    uniq, inv = np.unique(merged[0], return_inverse=True)
+    mn = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(mn, inv, merged[1])
+    return np.stack([uniq, mn])
 
 
 def default_blob_codec() -> str:
@@ -225,6 +244,7 @@ class PartitionApplier:
         import threading
         self._fold_thread: "threading.Thread | None" = None
         self.counts: list[np.ndarray] = []    # per-shard (part*4+op, n) pairs
+        self.min_scns: list[np.ndarray] = []  # per-shard (part, min commit scn)
         self.shards_received = 0
         self.seen_shards: set = set()         # content digests (retry dedupe)
         #: per-partition confirmed watermarks (resume): counters exclude rows
@@ -269,7 +289,9 @@ class PartitionApplier:
                 self.seen_shards.add(shard_key)
             if blob_id not in self.blobs:
                 self.blobs[blob_id] = blob_ref_box[0]
-            self.counts.append(_op_counts(meta, self.part_watermarks))
+            cnts, mins = _op_counts(meta, self.part_watermarks)
+            self.counts.append(cnts)
+            self.min_scns.append(mins)
             self.meta_runs.append(_heap_copy(meta))
             self.tail_rows += n
             if (self.compact_threshold
@@ -320,11 +342,12 @@ class PartitionApplier:
         the right rate."""
         return self.shards_received
 
-    def _gather(self) -> "tuple[pa.Table, np.ndarray] | None":
+    def _gather(self) -> "tuple[pa.Table, np.ndarray, np.ndarray] | None":
         """Materialize this applier's holding: fold + materialize whatever
         meta is still buffered (the since-last-fold tail; earlier folds
         already carry their payload in ``materialized``). Returns full
-        decoded events plus exact pre-fold (part, op) stream counts."""
+        decoded events plus exact pre-fold (part, op) stream counts and
+        per-partition receive-time min commit SCNs (data birth)."""
         if self._fold_thread is not None:
             self._fold_thread.join()   # an in-flight fold owns `materialized`
             self._fold_thread = None
@@ -344,7 +367,9 @@ class PartitionApplier:
         self.materialized, self.folded_rows = None, 0
         counts = _merge_counts(self.counts or [np.zeros((2, 0), np.int64)])
         self.counts = []
-        return events, counts
+        mins = _merge_mins(self.min_scns or [np.zeros((2, 0), np.int64)])
+        self.min_scns = []
+        return events, counts, mins
 
     def finalize_rows(self) -> pa.Table:
         """Merge-apply all owned events; keys are globally unique across
@@ -368,7 +393,7 @@ class PartitionApplier:
         stats: list[pa.Table] = []
         held = self._gather()
         if held is not None:
-            all_events, op_counts = held
+            all_events, op_counts, part_mins = held
             # partition groups via a cheap int sort; per-partition event
             # tables are gathered once (take) and committed independently
             parts = all_events["part"].to_numpy(zero_copy_only=False)
@@ -387,6 +412,11 @@ class PartitionApplier:
                 # (resume-exactness contract with _apply_and_commit)
                 counters["_wm"] = (int(self.part_watermarks[part_id])
                                    if self.part_watermarks is not None else -1)
+                # receive-time data birth for the manifest (folded winners'
+                # min would over-state it — losers at earlier SCNs are gone)
+                mm = part_mins[0] == part_id
+                counters["_min_scn"] = (int(part_mins[1][mm][0])
+                                        if mm.any() else -1)
                 stats.append(_apply_and_commit(
                     all_events.take(pa.array(sel)), out_dir,
                     self.schema_version, safe_watermark, max_commit_scn,
@@ -508,7 +538,8 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
                        as_refs: bool = False,
                        multi_table: bool = False,
                        part_watermarks: "np.ndarray | None" = None,
-                       dropped: tuple = ()):
+                       dropped: tuple = (),
+                       timings: "dict | None" = None):
     """Drive the routed stream and finalize.
 
     ``commit=None`` → final transcript rows: a list of per-applier Arrow
@@ -541,8 +572,11 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
             np.add.at(totals, b["applier"].to_numpy(zero_copy_only=False),
                       b["sent"].to_numpy(zero_copy_only=False))
     t1 = time.perf_counter()
+    if timings is None:
+        timings = {}          # caller doesn't track; globals still mirror
+    timings["route"] = round(t1 - t0, 3)
     LAST_TIMINGS.clear()
-    LAST_TIMINGS.update(route=round(t1 - t0, 3))
+    LAST_TIMINGS.update(route=timings["route"])
     if commit is None:
         refs = _fence_and_launch(appliers, totals,
                                  lambda i: appliers[i].finalize_rows.remote())
@@ -553,8 +587,9 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
             ray.wait(refs, num_returns=len(refs), fetch_local=False)
             for a in appliers:
                 ray.kill(a)
-            LAST_TIMINGS["finalize"] = round(time.perf_counter() - t2, 3)
-            LAST_TIMINGS["fence"] = round(t2 - t1, 3)
+            timings["finalize"] = round(time.perf_counter() - t2, 3)
+            timings["fence"] = round(t2 - t1, 3)
+            LAST_TIMINGS.update(fence=timings["fence"], finalize=timings["finalize"])
             return refs
         outs = ray.get(refs)
     else:
@@ -564,6 +599,7 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
         outs = ray.get(refs)
     for a in appliers:
         ray.kill(a)
-    LAST_TIMINGS["fence"] = round(t2 - t1, 3)
-    LAST_TIMINGS["finalize"] = round(time.perf_counter() - t2, 3)
+    timings["fence"] = round(t2 - t1, 3)
+    timings["finalize"] = round(time.perf_counter() - t2, 3)
+    LAST_TIMINGS.update(fence=timings["fence"], finalize=timings["finalize"])
     return pa.concat_tables([t for t in outs if t.num_rows > 0] or outs[:1])

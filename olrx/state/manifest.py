@@ -44,11 +44,19 @@ class PartitionManifest:
     #: max observed (commit_scn - begin_scn): the scan-pruning bound for
     #: incremental re-reads (events of unconfirmed txns have scn > W - span)
     max_txn_span: int = 0
-    #: watermark of this partition's FIRST-ever checkpoint — time travel
-    #: uses it to distinguish "partition born after the as-of point"
-    #: (legitimately empty) from "history pruned by snapshot_keep" (error).
+    #: watermark of this partition's FIRST-ever checkpoint — lineage only.
+    #: NOTE: this is checkpoint time, not data birth (a single full replay
+    #: stamps it at the final watermark even though the partition held
+    #: committed rows long before); time travel must use first_data_scn.
     #: -1 on manifests written before the field existed.
     first_watermark: int = -1
+    #: minimum commit SCN of any event EVER applied to this partition — the
+    #: partition's data birth. Time travel uses it to distinguish "partition
+    #: provably had no committed events at the as-of SCN" (legitimately
+    #: empty) from "history existed but is not retained" (error). -1 on
+    #: manifests written before the field existed (treated as unknown:
+    #: as-of reads below the oldest retained snapshot then refuse).
+    first_data_scn: int = -1
     updated_unix: float = 0.0
 
     def path(self, manifest_dir: str) -> str:

@@ -67,7 +67,7 @@ class LiveMetrics:
     Counter names mirror the reference where a 1:1 analog exists
     (``olrx_dml_ops_total`` ~ dml_ops_*, ``olrx_checkpoint_lag`` ~
     checkpoint_lag); gauges carry the per-iteration stage timings the
-    engine already collects (replay.LAST_TIMINGS)."""
+    engine already collects (ReplayResult.timings)."""
 
     def __init__(self) -> None:
         import threading

@@ -431,3 +431,22 @@ def test_events_value_quantiles_naive():
         rank = int(np.ceil(q * len(vals)))
         assert grp["value"].iloc[0] == vals[rank - 1], (et, q)
     assert len(out) == ev["event_type"].nunique() * len(_VALUE_QS)
+
+
+def test_to_cents_matches_duckdb_round():
+    """to_cents rounds half AWAY FROM ZERO like DuckDB's round() — np.rint's
+    half-to-even diverged on exact k+0.5 floats (ADVICE r4 #3)."""
+    import duckdb
+    import numpy as np
+
+    from olrx.ops.events import to_cents
+
+    vals = np.array([0.125, -0.125, 0.115, -0.115, 1.005, 2.675, -2.675,
+                     0.0, 12.345, -12.345, 190.36, 0.005, -0.005])
+    got = to_cents(vals)
+    want = duckdb.sql(
+        "SELECT CAST(round(v * 100) AS BIGINT) AS c "
+        "FROM (SELECT unnest($vals) AS v)",
+        params={"vals": vals.tolist()},
+    ).fetchnumpy()["c"]
+    assert (got == want).all(), list(zip(vals, got, want))

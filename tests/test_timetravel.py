@@ -60,13 +60,27 @@ def test_snapshot_retention_and_prune_error(gen_small, tmp_path):
     assert full_now == r.stats.to_pandas()["rows"].sum()
 
 
-def test_asof_before_first_checkpoint_is_empty(gen_small, tmp_path):
+def test_asof_data_birth_semantics(gen_small, tmp_path):
+    """A lake built by ONE full replay checkpoints only at the end: an as-of
+    read at any mid-stream SCN must REFUSE (committed state existed then but
+    no snapshot is retained), while an SCN before any data was born is
+    legitimately empty (ADVICE r4 #1 — `first_watermark` is checkpoint time,
+    not data birth; `first_data_scn` is)."""
+    from olrx.state import manifest as MF
+
     _, _, paths, _ = gen_small
     lake = str(tmp_path / "lake")
     replay_to_lake(paths, lake, _cfg(snapshot_keep=2), resume=False)
-    first = min(w for ws in snapshot_watermarks(lake).values() for w in ws)
-    # before any partition's first checkpoint: state is empty, not an error
-    assert read_lake_asof(lake, first - 1).count() == 0
+    ms = MF.read_all(lake + "/_manifest")
+    births = [m.first_data_scn for m in ms.values()]
+    assert births and all(b >= 0 for b in births)
+    # before ANY partition's data birth: provably empty, not an error
+    assert read_lake_asof(lake, min(births) - 1).count() == 0
+    # mid-stream, after data existed but before the only checkpoint: refuse
+    first_ckpt = min(w for ws in snapshot_watermarks(lake).values() for w in ws)
+    assert min(births) < first_ckpt
+    with pytest.raises(ValueError, match="pruned or was never checkpointed"):
+        read_lake_asof(lake, first_ckpt - 1).count()
 
 
 def test_end_commit_scn_stops_replay(gen_small, tmp_path):
