@@ -145,7 +145,7 @@ cent2 AS (
   SELECT c, list(av ORDER BY d) AS cent
   FROM (SELECT c, d, avg(v) AS av FROM dims GROUP BY c, d) GROUP BY c
 )
-SELECT vec_id, cluster FROM (
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT e.vec_id, i.c AS cluster,
          row_number() OVER (PARTITION BY e.vec_id
            ORDER BY list_distance(e.embedding::DOUBLE[], i.cent), i.c) AS rn

@@ -10,18 +10,28 @@ from olrx.ops import (cluster, corpus, curate, dedup, events, multimodal,
                       redact, relational, sampling, similarity, text)
 
 #: ORDER MATTERS: the driver's correctness sweep walks this dict in
-#: insertion order under a runtime budget — in r3 it covered the first 50
-#: of 58 and the relational/events tail never got a row. The families that
-#: historically fell off the end (relational joins, stream aggregations)
-#: now lead; the heavily-swept dedup/ANN block sits last.
+#: insertion order under a runtime budget (r3/r4 each covered the first 50
+#: of the registry). Rotation policy: the queries the PREVIOUS round's
+#: sweep did not reach lead the next round, so every query gets a driver
+#: row within two rounds; the heavily-swept dedup/ANN block sits last.
+#: r4 swept everything except the final 10 (corpus sampling/vocab, tf-idf,
+#: curation, k-means) — those lead r5.
 OPS_QUERIES = {
-    # new in r4 (never swept) — keep first
+    # unswept in r4 — rotated to the front
+    "corpus_sample": sampling.q_corpus_sample,
+    "token_vocab": sampling.q_token_vocab,
+    "corpus_split": sampling.q_corpus_split,
+    "tfidf_sources": corpus.q_tfidf_sources,
+    "source_stats": corpus.q_source_stats,
+    "token_length_quantiles": sampling.q_token_length_quantiles,
+    "sequence_pack": curate.q_sequence_pack,
+    "contamination_check": curate.q_contamination,
+    "curation_pipeline": curate.q_curation_pipeline,
+    "kmeans_embed": cluster.q_kmeans_embed,
+    # swept green in r4 (first driver rows for the relational/stream tail)
     "text_redact": redact.q_text_redact,
-    # relational: as-of + mixed-shape enrichment joins (never driver-swept
-    # before r4 — keep first)
     "events_asof_join": relational.q_events_asof_join,
     "orders_enrich": relational.q_orders_enrich,
-    # stream-shaped aggregations
     "events_sliding_window": events.q_events_sliding_window,
     "events_value_quantiles": events.q_events_value_quantiles,
     "events_hourly": events.q_events_hourly,
@@ -34,7 +44,12 @@ OPS_QUERIES = {
     "lang_id": text.q_lang_id,
     "doc_fingerprints": text.q_fingerprints,
     "text_repetition": text.q_repetition_stats,
-    # dedup
+    # multimodal plumbing
+    "media_features": multimodal.q_media_features,
+    "media_frames": multimodal.q_media_frames,
+    "media_resize": multimodal.q_media_resize,
+    "media_stats": multimodal.q_media_stats,
+    # dedup (green every round since r2 — safe to fall off the end)
     "dedup_exact": dedup.q_dedup_exact,
     "dedup_minhash": dedup.q_dedup_minhash,
     "dedup_minhash_dist": dedup.q_dedup_minhash_dist,
@@ -51,24 +66,6 @@ OPS_QUERIES = {
     "ann_lsh": similarity.q_ann_lsh,
     "ann_ivf": similarity.q_ann_ivf,
     "ann_ivf_recall": similarity.q_ann_ivf_recall,
-    # multimodal plumbing
-    "media_features": multimodal.q_media_features,
-    "media_frames": multimodal.q_media_frames,
-    "media_resize": multimodal.q_media_resize,
-    "media_stats": multimodal.q_media_stats,
-    # corpus sampling / vocabulary
-    "corpus_sample": sampling.q_corpus_sample,
-    "token_vocab": sampling.q_token_vocab,
-    "corpus_split": sampling.q_corpus_split,
-    "tfidf_sources": corpus.q_tfidf_sources,
-    "source_stats": corpus.q_source_stats,
-    "token_length_quantiles": sampling.q_token_length_quantiles,
-    # curation: packing + decontamination
-    "sequence_pack": curate.q_sequence_pack,
-    "contamination_check": curate.q_contamination,
-    "curation_pipeline": curate.q_curation_pipeline,
-    # embedding clustering
-    "kmeans_embed": cluster.q_kmeans_embed,
 }
 
 OPS_ORACLES = {
