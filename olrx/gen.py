@@ -81,6 +81,11 @@ class GenConfig:
     ddl: bool = True               # emit the add-column DDL mid-stream
     ddl_drop: bool = False         # ALSO drop tool_meta later in the stream
                                    # (non-additive evolution; requires ddl)
+    ddl_rename: bool = False       # ALSO rename tool → tool_label mid-stream
+                                   # (dictionary-row UPDATE — reference
+                                   # SystemTransaction.cpp:525; data and
+                                   # column identity untouched, display name
+                                   # changes at the commit SCN)
     special_char_every: int = 37   # every k-th text gets a special snippet
     gen_version: int = 2           # bump to invalidate on-disk caches when
                                    # generator CODE changes (digest covers
@@ -298,6 +303,7 @@ def _stream_build(cfg: GenConfig):
     # ---- DDL txn ----------------------------------------------------------
     ddl_scn = -1
     drop_scn = -1
+    rename_scn = -1
     if cfg.ddl:
         t_at = int(n_txn * 0.4)
         ddl_scn = int(SCN0 + t_at * SCN_STRIDE + 3)
@@ -307,6 +313,12 @@ def _stream_build(cfg: GenConfig):
             # /root/reference/src/builder/SystemTransaction.cpp:640)
             t_drop = int(n_txn * 0.75)
             drop_scn = int(SCN0 + t_drop * SCN_STRIDE + 3)
+        if cfg.ddl_rename:
+            # dictionary-row UPDATE: tool's display name becomes tool_label
+            # at this commit; the redo images keep the PHYSICAL field (column
+            # ids are stable under rename — SystemTransaction.cpp:525)
+            t_ren = int(n_txn * 0.55)
+            rename_scn = int(SCN0 + t_ren * SCN_STRIDE + 3)
 
     # ---- build flat event arrays (chains + extras) ------------------------
     def col(name):
@@ -441,6 +453,9 @@ def _stream_build(cfg: GenConfig):
     if drop_scn > 0:
         ddl_txns.append((drop_scn, "xdrop", json.dumps(
             {"drop_columns": ["tool_meta"]})))
+    if rename_scn > 0:
+        ddl_txns.append((rename_scn, "xrename", json.dumps(
+            {"rename_columns": {"tool": "tool_label"}})))
     for d_scn, d_xid, payload in ddl_txns:
         c_scn = np.concatenate([c_scn, [d_scn - 1, d_scn, d_scn]])
         c_idx = np.concatenate([c_idx, [0, 1, COMMIT_SCN_IDX]])
@@ -563,7 +578,8 @@ def _stream_build(cfg: GenConfig):
             "ts": pa.array(all_ts[sel], pa.int64()).cast(pa.timestamp("us")),
         })
 
-    meta = {"ddl_scn": ddl_scn, "drop_scn": drop_scn, "n_txn": n_txn,
+    meta = {"ddl_scn": ddl_scn, "drop_scn": drop_scn,
+            "rename_scn": rename_scn, "n_txn": n_txn,
             "rows": N}
     return meta, chunk_table
 
@@ -709,6 +725,7 @@ def ensure_changelog(cfg: GenConfig, root: str = "/tmp/olrx_data") -> str:
     m = generate_segments(cfg, d)
     meta = {"config": asdict(cfg), "ddl_scn": m["ddl_scn"],
             "drop_scn": m["drop_scn"],
+            "rename_scn": m.get("rename_scn", -1),
             "n_committed_txns": m["n_txn"], "rows": m["rows"]}
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:

@@ -57,7 +57,15 @@ def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1
     state: dict[tuple[str, int], dict] = {}
     schema_version = 0
     dropped: list[str] = []
+    renamed: dict[str, str] = {}   # physical → current display name
     import json as _json
+
+    def _phys(name: str) -> str:
+        for k, v in renamed.items():
+            if v == name:
+                return k
+        return name
+
     for row in ev.itertuples():
         pos = (row.commit_scn, row.scn, row.scn_idx)
         if pos <= start_watermark:
@@ -70,8 +78,13 @@ def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1
             if p.get("drop_columns"):
                 # non-additive: the column vanishes from the table schema
                 # (SystemTransaction.cpp:640); prior row values are discarded
-                dropped.extend(c for c in p["drop_columns"]
-                               if c not in dropped)
+                dropped.extend(_phys(c) for c in p["drop_columns"]
+                               if _phys(c) not in dropped)
+            elif p.get("rename_columns"):
+                # dictionary-row UPDATE (SystemTransaction.cpp:525): display
+                # name changes, data and column identity do not
+                for old, new in sorted(p["rename_columns"].items()):
+                    renamed[_phys(old)] = new
             else:
                 schema_version = min(schema_version + 1, S.MAX_SCHEMA_VERSION)
             continue
@@ -107,9 +120,11 @@ def apply_naive(changelog: pa.Table, start_watermark: tuple[int, int, int] = (-1
             "conv_id": [k[0] for k in keys],
             "turn_idx": pd.array([k[1] for k in keys], dtype="int32"),
         }
+    renamed = {p: n for p, n in renamed.items() if n != p}
     for c in cols:
-        data[c] = [state[k][c] for k in keys]
+        data[renamed.get(c, c)] = [state[k][c] for k in keys]
     out = pa.Table.from_pydict(data)
     return out.cast(S.transcripts_schema(schema_version,
                                          include_table=include_table,
-                                         dropped=tuple(dropped)))
+                                         dropped=tuple(dropped),
+                                         renamed=renamed))

@@ -381,6 +381,55 @@ def sql_cdc_replay_tablefilter(sf_dir: str) -> str:
         g, "\n    AND regexp_matches(e.table_name, '^t0$')")
 
 
+# ---------------------------------------------------------------------------
+# cdc_replay_rename — committed column-RENAME DDL mid-stream (§2.8)
+# ---------------------------------------------------------------------------
+
+def _rename_paths(sf_dir: str) -> tuple[list[str], str]:
+    cfg = GenConfig(scale=scale_for_sf_dir(sf_dir), ddl_rename=True)
+    d = ensure_changelog(cfg)
+    import glob as _g
+    return sorted(_g.glob(d + "/*.parquet")), d + "/*.parquet"
+
+
+def q_cdc_replay_rename(sf_dir: str) -> rd.Dataset:
+    """Replay a stream containing a committed column-RENAME DDL (tool →
+    tool_label): a dictionary-row UPDATE — reference
+    SystemTransaction::processUpdate (/root/reference/src/builder/
+    SystemTransaction.cpp:525). Data and column identity are untouched;
+    the final table carries the NEW display name over ALL rows, pre- and
+    post-rename values alike."""
+    paths, _ = _rename_paths(sf_dir)
+    return replay_dataset(paths, _replay_cfg()).dataset
+
+
+def sql_cdc_replay_rename(sf_dir: str) -> str:
+    _, g = _rename_paths(sf_dir)
+    return f"""
+WITH commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}') WHERE op = 'C'
+), ev AS (
+  SELECT e.conv_id, e.turn_idx, e.op, e.scn, e.scn_idx, c.commit_scn,
+         e.after.role AS role, e.after.text AS text,
+         e.after.tool AS tool_label,
+         e.after.ts AS ts, e.after.tool_meta AS tool_meta
+  FROM read_parquet('{g}') e
+  JOIN commits c USING (xid)
+  WHERE e.op IN ('I','U','D')
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                    WHERE p.op = 'PR' AND p.xid = e.xid
+                      AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY commit_scn DESC, scn DESC, scn_idx DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text,
+       tool_label, ts, tool_meta
+FROM last WHERE rn = 1 AND op <> 'D'
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_committed_events": q_cdc_committed_events,
@@ -390,6 +439,7 @@ CDC_QUERIES = {
     "cdc_replay_filtered": q_cdc_replay_filtered,
     "cdc_replay_multitable": q_cdc_replay_multitable,
     "cdc_replay_tablefilter": q_cdc_replay_tablefilter,
+    "cdc_replay_rename": q_cdc_replay_rename,
 }
 
 CDC_ORACLES = {
@@ -401,6 +451,7 @@ CDC_ORACLES = {
     "cdc_replay_filtered": sql_cdc_replay_filtered,
     "cdc_replay_multitable": sql_cdc_replay_multitable,
     "cdc_replay_tablefilter": sql_cdc_replay_tablefilter,
+    "cdc_replay_rename": sql_cdc_replay_rename,
 }
 
 

@@ -302,6 +302,7 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
         control = control.capped(cfg.end_commit_scn)
     sv = control.schema_version
     dropped = control.dropped_columns
+    renamed = control.renamed_columns
     hot = (detect_hot_keys(paths, frac_threshold=cfg.hot_frac_threshold)
            if cfg.salt_hot else None)
     events = _decoded_events(paths, cfg, control, hot=hot)
@@ -311,12 +312,12 @@ def replay_dataset(paths: list[str], cfg: ReplayConfig | None = None) -> ReplayR
         refs = run_actor_exchange(events, cfg.resolved_num_appliers(nbytes), sv,
                                   compact_threshold=cfg.applier_compact_threshold,
                                   as_refs=True, multi_table=cfg.multi_table,
-                                  dropped=dropped)
+                                  dropped=dropped, renamed=renamed)
         # result stays distributed: appliers return block refs, the driver
         # never concatenates the full table (VERDICT "what's wrong" #2)
         return ReplayResult(control=control, dataset=rd.from_arrow_refs(refs))
     final = events.groupby("part").map_groups(
-        lambda g: merge_apply(g, sv, dropped), batch_format="pyarrow")
+        lambda g: merge_apply(g, sv, dropped, renamed), batch_format="pyarrow")
     return ReplayResult(control=control, dataset=final)
 
 
@@ -326,6 +327,7 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
                       counters: "dict[str, int] | None" = None,
                       output_codec: str = "zstd",
                       dropped: tuple = (),
+                      renamed: "dict[str, str] | None" = None,
                       snapshot_keep: int = 1) -> pa.Table:
     """Lake-mode per-partition apply: merge with base state, write parquet
     atomically, then publish the manifest. Idempotent under task retries:
@@ -380,7 +382,7 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
     elif not from_exchange and group.num_rows:
         fresh_min = int(pc.min(group["commit_scn"]).as_py())
 
-    final = merge_apply(group, schema_version, dropped)
+    final = merge_apply(group, schema_version, dropped, renamed)
 
     part_dir = os.path.join(out_dir, f"part-{part:05d}")
     os.makedirs(part_dir, exist_ok=True)
@@ -413,6 +415,7 @@ def _apply_and_commit(group: pa.Table, out_dir: str, schema_version: int,
         watermark_commit_scn=target_watermark,
         schema_version=schema_version,
         dropped_columns=sorted(dropped),
+        renamed_columns=dict(renamed or {}),
         files=[os.path.join(f"part-{part:05d}", fname)],
         rows=final.num_rows,
         counters=counters,
@@ -452,9 +455,14 @@ def _read_base(out_dir: str, m: MF.PartitionManifest) -> pa.Table | None:
 def _base_as_events(base: pa.Table, m: MF.PartitionManifest) -> pa.Table:
     """Existing partition snapshot re-expressed as synthetic full-image
     inserts at the manifest watermark, so the same merge kernel handles
-    incremental upserts (events > watermark win by LWW)."""
+    incremental upserts (events > watermark win by LWW). The snapshot's
+    columns carry the display names current at ITS write time (manifest
+    ``renamed_columns``); they map back to physical ``v_<name>`` event
+    columns here, so a rename committed between runs re-labels the same
+    physical data rather than orphaning it."""
     n = base.num_rows
     payload_all = [nm for nm, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)]
+    rn = dict(getattr(m, "renamed_columns", {}) or {})
     cols: dict[str, object] = {}
     if "table_name" in base.schema.names:
         cols["table_name"] = base["table_name"]
@@ -469,7 +477,8 @@ def _base_as_events(base: pa.Table, m: MF.PartitionManifest) -> pa.Table:
     }
     base_names = set(base.schema.names)
     for nm, t in S.payload_columns(S.MAX_SCHEMA_VERSION):
-        cols[f"v_{nm}"] = base[nm] if nm in base_names else pa.nulls(n, t)
+        disp = rn.get(nm, nm)   # the name this snapshot stored it under
+        cols[f"v_{nm}"] = base[disp] if disp in base_names else pa.nulls(n, t)
     _ = payload_all
     return pa.table(cols)
 
@@ -519,6 +528,17 @@ def replay_to_lake(paths: list[str], out_dir: str,
     dropped = tuple(sorted(
         {c for m in prev_ms.values() for c in m.dropped_columns}
         | set(control.dropped_columns)))
+    # rename fence: prior runs' renames persist; this input's committed
+    # renames extend/override them. A rename whose "physical" key is itself
+    # a prior run's display name (the input only contains the later
+    # segments) resolves through the inverse of the prior mapping.
+    prev_rn: dict[str, str] = {}
+    for m in prev_ms.values():
+        prev_rn.update(getattr(m, "renamed_columns", {}) or {})
+    inv_prev = {v: k for k, v in prev_rn.items()}
+    renamed = dict(prev_rn)
+    for ph, new in control.renamed_columns.items():
+        renamed[inv_prev.get(ph, ph)] = new
     safe_wm = cfg.safe_watermark(control)
     max_commit = control.max_commit_scn
     hot = _resolved_hot_keys(paths, out_dir, cfg, resume)
@@ -547,14 +567,14 @@ def replay_to_lake(paths: list[str], out_dir: str,
                         snapshot_keep=cfg.snapshot_keep),
             compact_threshold=cfg.applier_compact_threshold,
             multi_table=cfg.multi_table, part_watermarks=wms,
-            dropped=dropped, timings=timings)
+            dropped=dropped, renamed=renamed, timings=timings)
         MF.write_lake_watermark(mdir, safe_wm, sv)
         return ReplayResult(control=control, stats=stats, out_dir=out_dir,
                             timings=timings)
     stats_ds = events.groupby("part").map_groups(
         lambda g: _apply_and_commit(g, out_dir, sv, safe_wm, max_commit, span,
                                     output_codec=cfg.output_codec,
-                                    dropped=dropped,
+                                    dropped=dropped, renamed=renamed,
                                     snapshot_keep=cfg.snapshot_keep),
         batch_format="pyarrow")
     stats_df = stats_ds.to_pandas()
@@ -607,6 +627,9 @@ def read_lake(out_dir: str) -> rd.Dataset:
     schema_version = max((m.schema_version for m in ms.values()), default=0)
     dropped = tuple(sorted(
         {c for m in ms.values() for c in m.dropped_columns}))
+    renamed: dict[str, str] = {}
+    for m in ms.values():
+        renamed.update(getattr(m, "renamed_columns", {}) or {})
     inc = bool(files) and "table_name" in pq.read_schema(files[0]).names
     return rd.read_parquet(files, schema=S.transcripts_schema(
-        schema_version, include_table=inc, dropped=dropped))
+        schema_version, include_table=inc, dropped=dropped, renamed=renamed))

@@ -52,7 +52,8 @@ def payload_columns(schema_version: int = 0) -> list[tuple[str, pa.DataType]]:
 
 def transcripts_schema(schema_version: int = 0,
                        include_table: bool = False,
-                       dropped: tuple[str, ...] = ()) -> pa.Schema:
+                       dropped: tuple[str, ...] = (),
+                       renamed: "dict[str, str] | None" = None) -> pa.Schema:
     """Lake-table schema. ``include_table`` prepends the ``table_name`` key
     column (multi-table replay, reference Schema dictionary tracking many
     tables via owner/table maps, /root/reference/src/metadata/Schema.h:119-129);
@@ -62,9 +63,17 @@ def transcripts_schema(schema_version: int = 0,
     (non-additive evolution — the reference's SystemTransaction handles
     dictionary-row DELETE too, SystemTransaction.cpp:640); the lake schema
     after a drop simply lacks the column. Re-adding a previously dropped
-    column is out of scope (a fresh dictionary column in the reference)."""
+    column is out of scope (a fresh dictionary column in the reference).
+
+    ``renamed``: physical → current display name for columns renamed by
+    committed RENAME DDLs (reference SystemTransaction::processUpdate of a
+    dictionary row, SystemTransaction.cpp:525 — the column ID and its data
+    are untouched; only the name mapping changes). Payload columns keep
+    their physical identity (mask bits, ``v_<physical>`` event columns)
+    end to end; the rename applies at the OUTPUT boundary only."""
     head = [("table_name", pa.string())] if include_table else []
-    payload = [(n, t) for n, t in payload_columns(schema_version)
+    rn = renamed or {}
+    payload = [(rn.get(n, n), t) for n, t in payload_columns(schema_version)
                if n not in dropped]
     return pa.schema(head + KEY_COLUMNS + payload)
 

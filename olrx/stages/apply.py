@@ -30,27 +30,35 @@ from olrx.stages.decode import OP_D, OP_I, OP_U
 
 
 def merge_apply(group: pa.Table, schema_version: int,
-                dropped: tuple = ()) -> pa.Table:
+                dropped: tuple = (),
+                renamed: "dict[str, str] | None" = None) -> pa.Table:
     """Reduce decoded events to final transcript rows.
 
     ``group`` has decode-stage layout: key columns, ``op_code``, order
     columns, ``changed_mask`` and ``v_<payload>`` value columns
     (full-width). Keys may span multiple hash partitions — ``(conv_id,
     turn_idx)`` is globally unique, so the reduction is partition-agnostic.
-    Output is ``transcripts_schema(schema_version, dropped=dropped)``.
+    Output is ``transcripts_schema(schema_version, dropped=dropped,
+    renamed=renamed)``.
 
     ``dropped``: payload columns removed by committed DROP DDLs — excluded
     from the winner gather entirely (their payload bytes are never moved),
     so old-version rows stay replayable while the output schema lacks the
     column (reference SystemTransaction.cpp:640).
-    """
+
+    ``renamed``: physical → current name from committed RENAME DDLs
+    (reference SystemTransaction::processUpdate, SystemTransaction.cpp:525)
+    — applied only when labeling the output columns; the merge itself runs
+    entirely on physical identities (mask bits, ``v_<physical>``)."""
     payload = [n for n, _ in S.payload_columns(schema_version)
                if n not in dropped]
+    rn = renamed or {}
     multi = "table_name" in group.column_names
     n = group.num_rows
     if n == 0:
         return S.transcripts_schema(schema_version, include_table=multi,
-                                    dropped=dropped).empty_table()
+                                    dropped=dropped,
+                                    renamed=rn).empty_table()
 
     def as_np(col) -> np.ndarray:
         # ChunkedArray.to_numpy on many chunks is a slow per-chunk path
@@ -124,11 +132,11 @@ def merge_apply(group: pa.Table, schema_version: int,
         if invalid.any():
             vals = pc.if_else(pa.array(invalid),
                               pa.nulls(len(gather_global), vals.type), vals)
-        out_cols[name] = vals
+        out_cols[rn.get(name, name)] = vals
 
     out = pa.table(out_cols)
     return out.cast(S.transcripts_schema(schema_version, include_table=multi,
-                                         dropped=dropped))
+                                         dropped=dropped, renamed=rn))
 
 
 def compact_events(group: pa.Table) -> pa.Table:

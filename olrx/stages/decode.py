@@ -80,10 +80,26 @@ class ControlInfo:
     #: commit SCNs aligned 1:1 with ``dropped_columns`` — lets a stop
     #: position (``capped``) un-apply drops committed after the cut
     drop_scns: tuple = ()
+    #: committed RENAME DDL ops in commit order: (commit_scn, physical
+    #: column, new display name). The reference's SystemTransaction
+    #: intercepts dictionary-row UPDATE too (SystemTransaction.cpp:525) —
+    #: a rename changes the name mapping only, never the data or the
+    #: column id; here physical identity (mask bit, ``v_<physical>``)
+    #: likewise never changes, and the op list replays to the current
+    #: mapping (chains a→b→c resolve by last op per physical).
+    rename_ops: tuple = ()
 
     @property
     def schema_version(self) -> int:
         return min(len(self.ddl_scns), S.MAX_SCHEMA_VERSION)
+
+    @property
+    def renamed_columns(self) -> dict[str, str]:
+        """physical → current display name (last committed rename wins)."""
+        out: dict[str, str] = {}
+        for _, phys, new in self.rename_ops:
+            out[phys] = new
+        return {p: n for p, n in out.items() if n != p}
 
     def capped(self, end_commit_scn: int) -> "ControlInfo":
         """Stop-position view (``ReplayConfig.end_commit_scn``): transactions
@@ -108,6 +124,7 @@ class ControlInfo:
             pr_sorted=self.pr_sorted,
             dropped_columns=tuple(c for _, c in kept_drops),
             drop_scns=tuple(s for s, _ in kept_drops),
+            rename_ops=tuple(op for op in self.rename_ops if op[0] <= e),
         )
         if self.lookup_arrays is not None:
             h, scn = self.lookup_arrays
@@ -170,7 +187,7 @@ def _sidecar_paths(paths: list[str]) -> list[str] | None:
 
 
 #: bump when ControlInfo derivation changes — invalidates summary caches
-_CTL_SUMMARY_VERSION = 4
+_CTL_SUMMARY_VERSION = 5
 
 #: checkpoints kept per _ctl directory — a growing tail directory writes one
 #: summary per file-set digest; older ones are pruned on each write, the
@@ -208,6 +225,7 @@ def _save_control_summary(cp: str, info: ControlInfo) -> None:
         "ddl_scns": [int(x) for x in info.ddl_scns],
         "dropped_columns": list(info.dropped_columns),
         "drop_scns": [int(x) for x in info.drop_scns],
+        "rename_ops": [[int(s_), p_, n_] for s_, p_, n_ in info.rename_ops],
         "max_commit_scn": int(info.max_commit_scn),
         "shard_watermarks": {str(k): int(v)
                              for k, v in info.shard_watermarks.items()},
@@ -241,6 +259,8 @@ def _load_control_summary(cp: str) -> "ControlInfo | None":
         ddl_scns=[int(x) for x in head["ddl_scns"]],
         dropped_columns=tuple(head.get("dropped_columns", [])),
         drop_scns=tuple(int(x) for x in head.get("drop_scns", [])),
+        rename_ops=tuple((int(o[0]), o[1], o[2])
+                         for o in head.get("rename_ops", [])),
         max_commit_scn=int(head["max_commit_scn"]),
         shard_watermarks={int(k): int(v)
                           for k, v in head["shard_watermarks"].items()},
@@ -375,6 +395,7 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
     ddl_scns: list[int] = []
     dropped_columns: list[str] = []
     drop_scns: list[int] = []
+    rename_ops: list[tuple[int, str, str]] = []
     if ddls.num_rows and commit_map.num_rows:
         import json as _json
         d_h = ddls["xid_h"].to_numpy(zero_copy_only=False)
@@ -384,6 +405,16 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
         payloads = ddls["ddl"].to_pylist()
         committed = sorted((int(cscn[i]), payloads[i] or "")
                            for i in np.flatnonzero(found))
+        # DDL payloads name columns by their CURRENT display name at commit
+        # time; `cur` (physical → current) resolves them back to physical
+        cur: dict[str, str] = {}
+
+        def _phys(name: str) -> str:
+            for k, v in cur.items():
+                if v == name:
+                    return k
+            return name
+
         for scn_i, raw in committed:
             try:
                 p = _json.loads(raw) if raw else {}
@@ -391,9 +422,17 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
                 p = {}
             if p.get("drop_columns"):
                 for c in p["drop_columns"]:
-                    if c not in dropped_columns:
-                        dropped_columns.append(c)
+                    ph = _phys(c)
+                    if ph not in dropped_columns:
+                        dropped_columns.append(ph)
                         drop_scns.append(scn_i)
+            elif p.get("rename_columns"):
+                # reference SystemTransaction::processUpdate of a dictionary
+                # row (SystemTransaction.cpp:525): name mapping change only
+                for old, new in sorted(p["rename_columns"].items()):
+                    ph = _phys(old)
+                    rename_ops.append((scn_i, ph, new))
+                    cur[ph] = new
             else:
                 ddl_scns.append(scn_i)
     # partial-rollback targets: (xid, undo_scn, undo_scn_idx) of PR rows,
@@ -416,7 +455,8 @@ def _control_info_from(ctl: pa.Table) -> ControlInfo:
                        max_commit_scn=max_commit, shard_watermarks=shard_wm,
                        max_txn_span=max_txn_span, pr_sorted=pr_sorted,
                        dropped_columns=tuple(dropped_columns),
-                       drop_scns=tuple(drop_scns))
+                       drop_scns=tuple(drop_scns),
+                       rename_ops=tuple(rename_ops))
     info.lookup_arrays = lookup
     return info
 

@@ -219,11 +219,13 @@ class PartitionApplier:
                  compact_threshold: int = 0,
                  multi_table: bool = False,
                  part_watermarks: "np.ndarray | None" = None,
-                 dropped: tuple = ()) -> None:
+                 dropped: tuple = (),
+                 renamed: "dict[str, str] | None" = None) -> None:
         self.applier_id = applier_id
         self.num_appliers = num_appliers
         self.schema_version = schema_version
         self.dropped = tuple(dropped)
+        self.renamed = dict(renamed or {})
         self.multi_table = multi_table
         self.meta_runs: list[pa.Table] = []   # heap-owned meta tables
         self.tail_rows = 0                    # un-folded rows since last fold
@@ -380,8 +382,9 @@ class PartitionApplier:
             from olrx import schema as S
             return S.transcripts_schema(
                 self.schema_version, include_table=self.multi_table,
-                dropped=self.dropped).empty_table()
-        return merge_apply(held[0], self.schema_version, self.dropped)
+                dropped=self.dropped, renamed=self.renamed).empty_table()
+        return merge_apply(held[0], self.schema_version, self.dropped,
+                           self.renamed)
 
     def finalize_commit(self, out_dir: str, safe_watermark: int,
                         max_commit_scn: int, max_txn_span: int,
@@ -422,6 +425,7 @@ class PartitionApplier:
                     self.schema_version, safe_watermark, max_commit_scn,
                     max_txn_span, counters=counters,
                     output_codec=output_codec, dropped=self.dropped,
+                    renamed=self.renamed,
                     snapshot_keep=snapshot_keep))
         if not stats:
             from olrx.pipelines.replay import _stats_row
@@ -539,6 +543,7 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
                        multi_table: bool = False,
                        part_watermarks: "np.ndarray | None" = None,
                        dropped: tuple = (),
+                       renamed: "dict[str, str] | None" = None,
                        timings: "dict | None" = None):
     """Drive the routed stream and finalize.
 
@@ -553,7 +558,7 @@ def run_actor_exchange(events, num_appliers: int, schema_version: int,
     codec = default_blob_codec()
     appliers = [PartitionApplier.remote(a, num_appliers, schema_version,
                                         compact_threshold, multi_table,
-                                        part_watermarks, dropped)
+                                        part_watermarks, dropped, renamed)
                 for a in range(num_appliers)]
     # routers ray.put with _owner=applier, which needs the owner's address —
     # an actor still pending creation has none ("worker_id is empty"). The

@@ -41,6 +41,12 @@ class PartitionManifest:
     #: half of the version fence (adds advance schema_version, drops land
     #: here; reference SystemTransaction.cpp:640)
     dropped_columns: list[str] = field(default_factory=list)
+    #: physical → current display name from committed RENAME DDLs (the
+    #: other non-additive dictionary mutation — reference
+    #: SystemTransaction::processUpdate, SystemTransaction.cpp:525). The
+    #: snapshot's columns carry the CURRENT names; resume maps them back to
+    #: physical via this dict before re-expressing the base as events.
+    renamed_columns: dict = field(default_factory=dict)
     #: max observed (commit_scn - begin_scn): the scan-pruning bound for
     #: incremental re-reads (events of unconfirmed txns have scn > W - span)
     max_txn_span: int = 0

@@ -104,3 +104,57 @@ def test_drop_column_lake_fence_and_resume(tmp_path):
     assert got.equals(exp)
     ms = MF.read_all(os.path.join(out, "_manifest"))
     assert ms and all(m.dropped_columns == ["tool_meta"] for m in ms.values())
+
+
+def test_rename_column_mid_stream():
+    """Dictionary-row UPDATE (reference SystemTransaction::processUpdate,
+    /root/reference/src/builder/SystemTransaction.cpp:525): `tool` is renamed
+    to `tool_label` at rename_scn. Data and column identity are untouched —
+    the final table carries the NEW name over all rows (pre- and post-rename
+    values alike). Engine vs the independent naive oracle, row-for-row."""
+    import json
+
+    d = ensure_changelog(GenConfig(scale=0.001, ddl_rename=True))
+    meta = json.load(open(os.path.join(d, "_COMPLETE")))
+    assert meta["rename_scn"] > 0
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    exp = apply_naive(full).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert "tool_label" in exp.schema.names and "tool" not in exp.schema.names
+    res = replay_dataset(paths, ReplayConfig(num_partitions=8))
+    got = sorted_table(res.dataset, exp.schema)
+    assert got.equals(exp)
+
+
+def test_rename_column_lake_fence_and_resume(tmp_path):
+    """The lake manifests record the rename mapping (version fence) and an
+    incremental replay across the rename boundary converges: partitions
+    checkpointed pre-rename store `tool`, the resumed run re-labels the same
+    physical data `tool_label` without orphaning it."""
+    import json
+
+    from olrx.pipelines.replay import read_lake, replay_to_lake
+    from olrx.state import manifest as MF
+
+    d = ensure_changelog(GenConfig(scale=0.001, ddl_rename=True))
+    meta = json.load(open(os.path.join(d, "_COMPLETE")))
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    exp = apply_naive(full).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    out = str(tmp_path / "lake")
+    cfg = ReplayConfig(num_partitions=8)
+    # leg 1: stop BEFORE the rename commits — the lake snapshot stores `tool`
+    import dataclasses
+    cfg1 = dataclasses.replace(cfg, end_commit_scn=meta["rename_scn"] - 1)
+    replay_to_lake(paths, out, cfg1)
+    ms1 = MF.read_all(os.path.join(out, "_manifest"))
+    assert ms1 and all(m.renamed_columns == {} for m in ms1.values())
+    # leg 2: full stream resumes over the same lake — crosses the rename
+    replay_to_lake(paths, out, cfg)
+    got = sorted_table(read_lake(out), exp.schema)
+    assert got.equals(exp)
+    ms = MF.read_all(os.path.join(out, "_manifest"))
+    assert ms and all(m.renamed_columns == {"tool": "tool_label"}
+                      for m in ms.values())
