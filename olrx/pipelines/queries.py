@@ -430,6 +430,109 @@ FROM last WHERE rn = 1 AND op <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# cdc_net_changes — consumer-facing net change set between two positions
+# ---------------------------------------------------------------------------
+
+def _net_change_bounds(sf_dir: str) -> tuple[int, int]:
+    """Deterministic (lo, hi] commit-SCN window — the 25th and 75th
+    percentile commit SCNs. The SAME helper feeds the Ray query and the SQL
+    oracle, so both sides cut at identical literals."""
+    paths = changelog_paths_for(sf_dir)
+    scns = load_control(paths).commit_map["commit_scn"].to_numpy(
+        zero_copy_only=False)
+    k1, k3 = len(scns) // 4, (3 * len(scns)) // 4
+    return int(np.partition(scns, k1)[k1]), int(np.partition(scns, k3)[k3])
+
+
+def q_cdc_net_changes(sf_dir: str) -> rd.Dataset:
+    """Net change set between two confirmed positions (lo, hi]: per key the
+    LWW-final change — ``upsert`` with the final image, or ``delete``. This
+    is the merge feed a downstream consumer applies to move a replica from
+    state@lo to state@hi (the reference's writer emits exactly the committed
+    changes between two confirmed positions, commit-order,
+    /root/reference/src/writer/Writer.cpp:134-138; here collapsed per key).
+    Scale shape: both positions prune the read (row-group stats on scn),
+    decode drops out-of-window txns via the capped commit map, and the
+    winner pick is one vectorized lexsort per partition — no global sort."""
+    import dataclasses
+
+    paths = changelog_paths_for(sf_dir)
+    lo, hi = _net_change_bounds(sf_dir)
+    cfg = dataclasses.replace(_replay_cfg(), start_commit_scn=lo,
+                              end_commit_scn=hi)
+    control = load_control(paths).capped(hi)
+    from olrx.pipelines.replay import _decoded_events
+    events = _decoded_events(paths, cfg, control)
+
+    def last_per_key(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g
+        def as_np(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return col.to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(g["conv_id"].combine_chunks()
+                                     if isinstance(g["conv_id"], pa.ChunkedArray)
+                                     else g["conv_id"])
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        codes = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = as_np(g["turn_idx"]).astype(np.int64)
+        order = np.lexsort((as_np(g["scn_idx"]).astype(np.int64),
+                            as_np(g["scn"]).astype(np.int64),
+                            as_np(g["commit_scn"]).astype(np.int64),
+                            turn, codes))
+        codes_s, turn_s = codes[order], turn[order]
+        last = np.empty(n, bool)
+        last[-1] = True
+        last[:-1] = (codes_s[1:] != codes_s[:-1]) | (turn_s[1:] != turn_s[:-1])
+        win = pa.array(order[np.flatnonzero(last)])
+        opw = g["op_code"].take(win).to_numpy(zero_copy_only=False)
+        out = {
+            "conv_id": g["conv_id"].take(win),
+            "turn_idx": g["turn_idx"].take(win).cast(pa.int32()),
+            "change_op": pa.array(np.where(opw == 2, "delete", "upsert")),
+        }
+        from olrx import schema as S
+        for nm, _t in S.payload_columns(S.MAX_SCHEMA_VERSION):
+            out[nm] = g[f"v_{nm}"].take(win)
+        return pa.table(out)
+
+    return events.groupby("part").map_groups(last_per_key,
+                                             batch_format="pyarrow")
+
+
+def sql_cdc_net_changes(sf_dir: str) -> str:
+    g = _glob_sql(sf_dir)
+    lo, hi = _net_change_bounds(sf_dir)
+    return f"""
+WITH commits AS (
+  SELECT xid, scn AS commit_scn FROM read_parquet('{g}')
+  WHERE op = 'C' AND scn > {lo} AND scn <= {hi}
+), ev AS (
+  SELECT e.conv_id, e.turn_idx, e.op, e.scn, e.scn_idx, c.commit_scn,
+         e.after.role AS role, e.after.text AS text, e.after.tool AS tool,
+         e.after.ts AS ts, e.after.tool_meta AS tool_meta
+  FROM read_parquet('{g}') e
+  JOIN commits c USING (xid)
+  WHERE e.op IN ('I','U','D')
+    AND NOT EXISTS (SELECT 1 FROM read_parquet('{g}') p
+                    WHERE p.op = 'PR' AND p.xid = e.xid
+                      AND p.undo_scn = e.scn AND p.undo_scn_idx = e.scn_idx)
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY commit_scn DESC, scn DESC, scn_idx DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END AS change_op,
+       role, text, tool, ts, tool_meta
+FROM last WHERE rn = 1
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_committed_events": q_cdc_committed_events,
@@ -440,6 +543,7 @@ CDC_QUERIES = {
     "cdc_replay_multitable": q_cdc_replay_multitable,
     "cdc_replay_tablefilter": q_cdc_replay_tablefilter,
     "cdc_replay_rename": q_cdc_replay_rename,
+    "cdc_net_changes": q_cdc_net_changes,
 }
 
 CDC_ORACLES = {
@@ -452,6 +556,7 @@ CDC_ORACLES = {
     "cdc_replay_multitable": sql_cdc_replay_multitable,
     "cdc_replay_tablefilter": sql_cdc_replay_tablefilter,
     "cdc_replay_rename": sql_cdc_replay_rename,
+    "cdc_net_changes": sql_cdc_net_changes,
 }
 
 

@@ -290,3 +290,22 @@ def test_stream_filenames_in_range_order(tmp_path, gen_small):
         assert lasts[i - 1] <= firsts[i], (names[i - 1], names[i])
     # one bucket per file and bucket ids non-decreasing in name order
     assert buckets == sorted(buckets)
+
+
+def test_cdc_net_changes_vs_oracle():
+    """Net change set (lo, hi]: LWW-final upsert/delete per key — the
+    consumer-facing merge feed between two confirmed positions. Ray result
+    vs the DuckDB oracle over the same changelog bytes at sf0.001."""
+    import duckdb
+
+    from olrx.pipelines.queries import q_cdc_net_changes, sql_cdc_net_changes
+
+    sf = "/root/testdata/sf0.001"
+    got = q_cdc_net_changes(sf).to_pandas()
+    want = duckdb.sql(sql_cdc_net_changes(sf)).df()
+    key = ["conv_id", "turn_idx"]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    assert len(got) == len(want) and list(got.columns) == list(want.columns)
+    assert set(got["change_op"]) == {"upsert", "delete"}
+    assert got.equals(want)
