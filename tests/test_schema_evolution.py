@@ -158,3 +158,103 @@ def test_rename_column_lake_fence_and_resume(tmp_path):
     ms = MF.read_all(os.path.join(out, "_manifest"))
     assert ms and all(m.renamed_columns == {"tool": "tool_label"}
                       for m in ms.values())
+
+
+def _synthetic_ddl_segment(src_dir: str, dst_dir: str, *, seq: int,
+                           scn: int, xid: str, payload: str) -> str:
+    """Clone the generator's 3-row committed DDL txn shape (B / DDL / C —
+    see olrx/gen.py ddl_txns) into a fresh segment file with the given
+    commit position, so tests can extend a cached changelog with extra DDLs
+    without regenerating (the cache dir itself is never touched)."""
+    import json as _json
+
+    src = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(src_dir + "/*.parquet"))])
+    proto = src.filter(pc.equal(src["xid"], "xrename"))
+    assert proto.num_rows == 3, "generator DDL txn shape changed"
+    order = pc.sort_indices(proto, sort_keys=[("scn_idx", "ascending")])
+    proto = proto.take(order)   # B, DDL, C
+    edits = {
+        "scn": pa.array([scn - 1, scn, scn], pa.int64()),
+        "scn_idx": proto["scn_idx"],
+        "seq": pa.array([seq] * 3, pa.int32()),
+        "xid": pa.array([xid] * 3, pa.string()),
+        "ddl": pa.array([None, payload, None], pa.string()),
+    }
+    t = proto
+    for name, col in edits.items():
+        t = t.set_column(t.schema.get_field_index(name), name, col)
+    _json.loads(payload)    # payload must be valid JSON
+    out = os.path.join(dst_dir, f"shard00-seg{seq:04d}.parquet")
+    pq.write_table(t, out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def chained_rename_dir(tmp_path_factory):
+    """The ddl_rename changelog (tool → tool_label) plus a SECOND committed
+    rename (tool_label → tool_tag) appended after the stream's max SCN."""
+    src = ensure_changelog(GenConfig(scale=0.001, ddl_rename=True))
+    dst = tmp_path_factory.mktemp("chain")
+    import shutil
+
+    for p in sorted(glob.glob(src + "/*.parquet")):
+        shutil.copy(p, str(dst / os.path.basename(p)))
+    _synthetic_ddl_segment(
+        src, str(dst), seq=4, scn=9001, xid="xrename2",
+        payload='{"rename_columns": {"tool_label": "tool_tag"}}')
+    return str(dst)
+
+
+def test_rename_chain_resolves_to_last(chained_rename_dir):
+    """A rename CHAIN (tool → tool_label → tool_tag, two committed
+    dictionary-row UPDATEs) resolves to the last display name over one
+    stable physical identity: the control pass maps physical `tool` straight
+    to `tool_tag`, and the replayed table carries only the final name —
+    engine vs the independent naive oracle (which resolves chains with its
+    own reverse lookup), row-for-row."""
+    from olrx.stages.decode import load_control
+
+    paths = sorted(glob.glob(chained_rename_dir + "/*.parquet"))
+    info = load_control(paths)
+    assert info.renamed_columns == {"tool": "tool_tag"}
+    assert [(p, n) for _, p, n in info.rename_ops] == \
+        [("tool", "tool_label"), ("tool", "tool_tag")]
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    exp = apply_naive(full).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert "tool_tag" in exp.schema.names
+    assert not {"tool", "tool_label"} & set(exp.schema.names)
+    res = replay_dataset(paths, ReplayConfig(num_partitions=8))
+    got = sorted_table(res.dataset, exp.schema)
+    assert got.equals(exp)
+
+
+def test_rename_then_drop_by_new_name(chained_rename_dir, tmp_path):
+    """A DROP that names the post-rename display name must resolve through
+    the rename chain to the physical column (reference SystemTransaction
+    applies dictionary UPDATEs and DELETEs in commit order): dropping
+    `tool_tag` removes physical `tool`, and the final table carries none of
+    the three names."""
+    import shutil
+
+    from olrx.stages.decode import load_control
+
+    d = str(tmp_path / "chain_drop")
+    os.makedirs(d)
+    for p in sorted(glob.glob(chained_rename_dir + "/*.parquet")):
+        shutil.copy(p, os.path.join(d, os.path.basename(p)))
+    src = ensure_changelog(GenConfig(scale=0.001, ddl_rename=True))
+    _synthetic_ddl_segment(
+        src, d, seq=5, scn=9101, xid="xdrop2",
+        payload='{"drop_columns": ["tool_tag"]}')
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    info = load_control(paths)
+    assert info.dropped_columns == ("tool",)
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    exp = apply_naive(full).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert not {"tool", "tool_label", "tool_tag"} & set(exp.schema.names)
+    res = replay_dataset(paths, ReplayConfig(num_partitions=8))
+    got = sorted_table(res.dataset, exp.schema)
+    assert got.equals(exp)
