@@ -621,15 +621,50 @@ def _resolved_hot_keys(paths: list[str], out_dir: str, cfg: ReplayConfig,
 
 
 def read_lake(out_dir: str) -> rd.Dataset:
-    """Read the current table state: only files referenced by manifests."""
+    """Read the current table state: only files referenced by manifests.
+
+    Partitions may sit at different rename epochs — a partition with no
+    fresh events across a rename-containing increment keeps its old-name
+    snapshot (the exchange only commits partitions it routed events to),
+    while its peers rewrite under the new display name. Parquet schema
+    projection matches by NAME, so reading an old-name file under the
+    unified (renamed) schema would silently NULL the renamed column's
+    data. Each manifest records ITS partition's exact display mapping, so:
+    group partitions by mapping, read each group under its own names, and
+    `rename_columns` to the unified display — renames change labels only,
+    never physical identity (SystemTransaction.cpp:525), so this is a
+    zero-copy relabel. Single-epoch lakes (the common case) take the
+    one-group fast path, identical to a plain schema-pinned read."""
     ms = MF.read_all(os.path.join(out_dir, "_manifest"))
-    files = [os.path.join(out_dir, rel) for m in ms.values() for rel in m.files]
+    files_of: dict[tuple, list[str]] = {}
+    for m in ms.values():
+        key = tuple(sorted((getattr(m, "renamed_columns", {}) or {}).items()))
+        files_of.setdefault(key, []).extend(
+            os.path.join(out_dir, rel) for rel in m.files)
     schema_version = max((m.schema_version for m in ms.values()), default=0)
     dropped = tuple(sorted(
         {c for m in ms.values() for c in m.dropped_columns}))
     renamed: dict[str, str] = {}
     for m in ms.values():
         renamed.update(getattr(m, "renamed_columns", {}) or {})
-    inc = bool(files) and "table_name" in pq.read_schema(files[0]).names
-    return rd.read_parquet(files, schema=S.transcripts_schema(
-        schema_version, include_table=inc, dropped=dropped, renamed=renamed))
+    all_files = [f for fs in files_of.values() for f in fs]
+    inc = bool(all_files) and "table_name" in pq.read_schema(all_files[0]).names
+    tgt = S.transcripts_schema(schema_version, include_table=inc,
+                               dropped=dropped, renamed=renamed)
+    phys_of_display = {renamed.get(p, p): p
+                       for p, _ in S.payload_columns(schema_version)}
+    parts: list[rd.Dataset] = []
+    for key, files in sorted(files_of.items()):
+        renamed_g = dict(key)
+        fields, mapping = [], {}
+        for f in tgt:
+            p = phys_of_display.get(f.name, f.name)
+            gname = renamed_g.get(p, p)
+            fields.append(pa.field(gname, f.type))
+            if gname != f.name:
+                mapping[gname] = f.name
+        ds = rd.read_parquet(files, schema=pa.schema(fields))
+        parts.append(ds.rename_columns(mapping) if mapping else ds)
+    if not parts:
+        return rd.from_arrow(tgt.empty_table())
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]

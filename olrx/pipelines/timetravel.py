@@ -81,13 +81,86 @@ def snapshot_files_asof(out_dir: str, commit_scn: int) -> list[str]:
 
 def read_lake_asof(out_dir: str, commit_scn: int) -> rd.Dataset:
     """Table state as of ``commit_scn`` — a partitioned parquet read of the
-    chosen snapshots, streaming like any other Dataset source."""
+    chosen snapshots, streaming like any other Dataset source.
+
+    Snapshots carry the display names current at THEIR watermark epoch, so
+    when the chosen files straddle a committed column RENAME (one partition
+    last checkpointed before it, another after), a naive multi-file read
+    would silently union two names for one physical column. Files are
+    therefore grouped by their footer schema and relabeled to the newest
+    chosen epoch's names — positions are stable under renames (the physical
+    identity/column id never changes, SystemTransaction.cpp:525) and every
+    cross-group label difference must be provably the same physical column
+    (via the manifests' rename mapping); anything unresolvable raises
+    rather than guessing, like the pruned-history case."""
     files = snapshot_files_asof(out_dir, commit_scn)
     if not files:  # every partition born after the as-of point
         from olrx import schema as S
 
         return rd.from_arrow(S.transcripts_schema(0).empty_table())
-    return rd.read_parquet(files)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    sch_of: dict[tuple, pa.Schema] = {}
+    for f in files:
+        sch = pq.read_schema(f)
+        key = tuple(sch.names)
+        groups.setdefault(key, []).append(f)
+        sch_of.setdefault(key, sch)
+    if len(groups) == 1:
+        return rd.read_parquet(files)
+
+    from olrx import schema as S
+    from olrx.state import manifest as MF
+
+    def _wm(f: str) -> int:
+        return int(_SNAP_RE.search(f).group(1))
+
+    canon = tuple(pq.read_schema(max(files, key=_wm)).names)
+    canon_types = {n: t for n, t in zip(
+        canon, pq.read_schema(max(files, key=_wm)).types)}
+    physicals = ({n for n, _ in S.payload_columns(S.MAX_SCHEMA_VERSION)}
+                 | set(S.transcripts_schema(0, include_table=True).names))
+    renamed: dict[str, str] = {}
+    for m in MF.read_all(os.path.join(out_dir, "_manifest")).values():
+        renamed.update(getattr(m, "renamed_columns", {}) or {})
+
+    def _phys(name: str) -> str | None:
+        if name in physicals:
+            return name
+        for p, cur in renamed.items():
+            if cur == name:
+                return p
+        return None
+
+    parts: list[rd.Dataset] = []
+    for names, gfiles in sorted(groups.items()):
+        if len(names) > len(canon):
+            raise ValueError(
+                f"as-of read at commit SCN {commit_scn}: snapshot epochs "
+                f"disagree beyond renames/additive adds ({len(names)} vs "
+                f"{len(canon)} columns); retain aligned checkpoints "
+                "(ReplayConfig.snapshot_keep) or re-checkpoint")
+        mapping: dict[str, str] = {}
+        fields = []
+        for i, fn in enumerate(names):
+            tn = canon[i]
+            fields.append(pa.field(fn, canon_types[tn]))
+            if fn == tn:
+                continue
+            pf, pt = _phys(fn), _phys(tn)
+            if pf is None or pt is None or pf != pt:
+                raise ValueError(
+                    f"as-of read at commit SCN {commit_scn}: cannot prove "
+                    f"snapshot column {fn!r} and {tn!r} share a physical "
+                    "identity; history spans an unrecorded rename")
+            mapping[fn] = tn
+        fields += [pa.field(canon[i], canon_types[canon[i]])
+                   for i in range(len(names), len(canon))]
+        ds = rd.read_parquet(gfiles, schema=pa.schema(fields))
+        parts.append(ds.rename_columns(mapping) if mapping else ds)
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 
 # ---------------------------------------------------------------------------

@@ -258,3 +258,74 @@ def test_rename_then_drop_by_new_name(chained_rename_dir, tmp_path):
     res = replay_dataset(paths, ReplayConfig(num_partitions=8))
     got = sorted_table(res.dataset, exp.schema)
     assert got.equals(exp)
+
+
+def test_rename_with_stale_partitions(tmp_path):
+    """A rename increment that routes events to only ONE partition must not
+    corrupt the others. Parquet schema projection matches by NAME, so before
+    this round's fix `read_lake` silently NULLed the `tool` data of every
+    partition whose snapshot predated the rename (its manifest — and file —
+    still said `tool` while the unified schema asked for `tool_label`), and
+    `read_lake_asof` unioned both names as separate half-null columns. Both
+    reads must relabel per epoch: renames change display only, physical
+    identity is stable (SystemTransaction.cpp:525)."""
+    import shutil
+
+    from olrx.pipelines.replay import read_lake, replay_to_lake
+    from olrx.pipelines.timetravel import read_lake_asof
+    from olrx.state import manifest as MF
+
+    src = ensure_changelog(GenConfig(scale=0.001))
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    for p in sorted(glob.glob(src + "/*.parquet")):
+        shutil.copy(p, os.path.join(d, os.path.basename(p)))
+    out = str(tmp_path / "lake")
+    cfg = ReplayConfig(num_partitions=8, snapshot_keep=4)
+    # leg 1: full replay of the original stream — every snapshot says `tool`
+    replay_to_lake(sorted(glob.glob(d + "/*.parquet")), out, cfg)
+
+    # increment: one committed RENAME plus one committed single-row INSERT
+    # (a brand-new conversation) — exactly one partition sees fresh events
+    full = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(d + "/*.parquet"))])
+    donor_i = full.filter(pc.equal(full["op"], "I")).slice(0, 1).to_pylist()[0]
+    donor_b = full.filter(pc.equal(full["op"], "B")).slice(0, 1).to_pylist()[0]
+    donor_c = full.filter(pc.equal(full["op"], "C")).slice(0, 1).to_pylist()[0]
+
+    def _row(donor, **kw):
+        r = dict(donor)
+        r.update(shard=0, seq=4, **kw)
+        return r
+
+    rows = [
+        _row(donor_b, xid="xren", scn=9000, scn_idx=0),
+        _row(donor_b, xid="xren", op="DDL", scn=9001, scn_idx=1,
+             ddl='{"rename_columns": {"tool": "tool_label"}}'),
+        _row(donor_c, xid="xren", scn=9001, scn_idx=1048576),
+        _row(donor_b, xid="xnew", scn=9049, scn_idx=0),
+        _row(donor_i, xid="xnew", scn=9050, scn_idx=0,
+             conv_id="zz-new-conv", turn_idx=0),
+        _row(donor_c, xid="xnew", scn=9050, scn_idx=1048576),
+    ]
+    seg = pa.Table.from_pylist(rows, schema=full.schema)
+    pq.write_table(seg, os.path.join(d, "shard00-seg0004.parquet"))
+
+    # leg 2: incremental replay — only zz-new-conv's partition rewrites
+    paths = sorted(glob.glob(d + "/*.parquet"))
+    replay_to_lake(paths, out, cfg)
+    ms = MF.read_all(os.path.join(out, "_manifest"))
+    epochs = {tuple(sorted(m.renamed_columns.items())) for m in ms.values()}
+    assert epochs == {(), (("tool", "tool_label"),)}, \
+        "test premise: the lake must hold BOTH rename epochs"
+
+    exp = apply_naive(
+        pa.concat_tables([pq.read_table(p) for p in paths])).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert "tool_label" in exp.schema.names
+    got = sorted_table(read_lake(out), exp.schema)
+    assert got.equals(exp)   # stale partitions' tool values NOT nulled
+
+    # as-of at the final commit straddles the rename across partitions
+    asof = sorted_table(read_lake_asof(out, 9050), exp.schema)
+    assert asof.equals(exp)
